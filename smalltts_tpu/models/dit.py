@@ -1,0 +1,302 @@
+"""DiT backbone: 12 joint-attention blocks, hidden 960, adaLN-zero.
+
+Capability parity with the reference DiT
+(reference: src/smalltts/models/backbone/dit.py:256-367):
+
+* joint attention — q/k_self/v_self from x (RoPE on first 64 of 120 head
+  dims), per-block cross K/V projections for the style sequence and the
+  phoneme memory, keys concatenated [self | ref | text] into ONE attention
+  (dit.py:112-129), sigmoid gate on the attention output;
+* adaLN-zero modulation with zero-init (dit.py:281-285) and tanh gates
+  (dit.py:198-201); SwiGLU FF with ratio 2.5 (dit.py:195);
+* grouped Conv1d(k=31, groups=16) + Mish positional stem (dit.py:215-236);
+* cached-inference API: `encode_cross_kv` precomputes per-block ref/text K/V
+  once, `forward_cached` reuses them per denoise step (dit.py:300-327).
+
+TPU-first re-design (NOT a translation):
+
+* the 12 blocks are a *stacked pytree* scanned with `lax.scan` — one compiled
+  block body instead of 12 unrolled copies (12x smaller HLO, much faster
+  compiles), and the per-layer features the discriminator needs fall out of
+  the scan's stacked outputs for free;
+* cross-KV caches are stacked arrays (L, B, H, T, D) threaded as scan inputs —
+  no Python list-of-dicts crossing the host boundary like the reference's
+  rank-5 ONNX feeds (src/server/src/pipeline.rs:135-142);
+* RoPE tables are static constants baked into the jitted graph, never fed
+  from host (vs src/smalltts/infer/onnx.py:42-47,98);
+* optional rematerialization via `jax.checkpoint` on the scanned block.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from smalltts_tpu.ops import nn
+from smalltts_tpu.ops.rope import apply_rope_interleaved, rope_table_interleaved
+
+
+@dataclass(frozen=True)
+class DiTConfig:
+    latent_dim: int = 64
+    phoneme_dim: int = 512
+    hidden_dim: int = 960
+    n_blocks: int = 12
+    heads: int = 8
+    mlp_ratio: float = 2.5
+    rot_dim: int = 64
+    conv_kernel: int = 31
+    conv_groups: int = 16
+    max_seq: int = 4096
+    remat: bool = False  # rematerialize each block in the backward pass
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.heads
+
+    @property
+    def ff_dim(self) -> int:
+        return int(self.hidden_dim * self.mlp_ratio)
+
+
+class CrossKV(NamedTuple):
+    """Precomputed per-layer cross-attention K/V, each (L, B, H, T, D)."""
+
+    k_ref: jax.Array
+    v_ref: jax.Array
+    k_text: jax.Array
+    v_text: jax.Array
+
+
+# ---------------------------------------------------------------------- init
+
+
+def _init_block(key, cfg: DiTConfig, dtype):
+    ks = jax.random.split(key, 16)
+    h, hd, inner = cfg.heads, cfg.head_dim, cfg.hidden_dim
+    return {
+        "attn_norm": {  # adaLN-zero modulation, zero-init (dit.py:281-283)
+            "linear": nn.init_zeros_linear(inner, inner * 6, dtype=dtype),
+        },
+        "attn": {
+            "to_q": nn.init_linear(ks[0], inner, inner, dtype=dtype),
+            "to_k_self": nn.init_linear(ks[1], inner, inner, dtype=dtype),
+            "to_v_self": nn.init_linear(ks[2], inner, inner, dtype=dtype),
+            "gate": nn.init_linear(ks[3], inner, inner, bias=False, dtype=dtype),
+            "to_out": nn.init_linear(ks[4], inner, inner, bias=False, dtype=dtype),
+            "q_norm": nn.init_rmsnorm((h, hd), dtype),
+            "k_norm": nn.init_rmsnorm((h, hd), dtype),
+            "to_k_ref": nn.init_linear(ks[5], inner, inner, dtype=dtype),
+            "to_v_ref": nn.init_linear(ks[6], inner, inner, dtype=dtype),
+            "to_k_text": nn.init_linear(ks[7], inner, inner, dtype=dtype),
+            "to_v_text": nn.init_linear(ks[8], inner, inner, dtype=dtype),
+            "k_norm_cross": nn.init_rmsnorm((h, hd), dtype),
+        },
+        "ff": {
+            "w1": nn.init_linear(ks[9], inner, cfg.ff_dim, dtype=dtype),
+            "w3": nn.init_linear(ks[10], inner, cfg.ff_dim, dtype=dtype),
+            "w2": nn.init_linear(ks[11], cfg.ff_dim, inner, dtype=dtype),
+        },
+    }
+
+
+def init_dit(key, cfg: DiTConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, cfg.n_blocks + 8)
+    blocks = [_init_block(ks[i], cfg, dtype) for i in range(cfg.n_blocks)]
+    # stack the per-block pytrees into leading-dim-L leaves for lax.scan
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+    kk = ks[cfg.n_blocks :]
+    return {
+        "input_embed": {
+            "proj": nn.init_linear(kk[0], cfg.latent_dim, cfg.hidden_dim, dtype=dtype),
+            "conv1": nn.init_conv1d(
+                kk[1], cfg.hidden_dim, cfg.hidden_dim, cfg.conv_kernel, cfg.conv_groups, dtype
+            ),
+            "conv2": nn.init_conv1d(
+                kk[2], cfg.hidden_dim, cfg.hidden_dim, cfg.conv_kernel, cfg.conv_groups, dtype
+            ),
+        },
+        "phoneme_proj": nn.init_linear(kk[3], cfg.phoneme_dim, cfg.hidden_dim, dtype=dtype),
+        "emb_proj": {
+            "l1": nn.init_linear(kk[4], cfg.hidden_dim, cfg.hidden_dim * 2, dtype=dtype),
+            "l2": nn.init_linear(kk[5], cfg.hidden_dim * 2, cfg.hidden_dim, dtype=dtype),
+        },
+        "blocks": stacked,
+        "norm_out": {"linear": nn.init_zeros_linear(cfg.hidden_dim, cfg.hidden_dim * 2, dtype=dtype)},
+    }
+
+
+# --------------------------------------------------------------------- pieces
+
+
+def _input_embed(p, cfg: DiTConfig, x, mask):
+    """Linear in-proj + masked grouped-conv positional stem (dit.py:215-253)."""
+    x = nn.linear(p["proj"], x)
+    m3 = mask[..., None]
+    h = jnp.where(m3, x, 0.0)
+    h = nn.mish(nn.conv1d(p["conv1"], h, groups=cfg.conv_groups)) * m3.astype(x.dtype)
+    h = nn.mish(nn.conv1d(p["conv2"], h, groups=cfg.conv_groups))
+    h = jnp.where(m3, h, 0.0)
+    return h + x
+
+
+def _emb_proj(p, emb):
+    return nn.linear(p["l2"], jax.nn.silu(nn.linear(p["l1"], emb)))
+
+
+def _adaln_zero(p, x, emb, eps=1e-6):
+    """AdaLN-zero: returns modulated x + (gate_msa, shift_mlp, scale_mlp, gate_mlp)."""
+    mod = nn.linear(p["linear"], jax.nn.silu(emb))
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
+    x = nn.layernorm_noaffine(x, eps) * (1 + scale_msa[:, None]) + shift_msa[:, None]
+    return x, gate_msa, shift_mlp, scale_mlp, gate_mlp
+
+
+def _adaln_final(p, x, emb, eps=1e-6):
+    mod = nn.linear(p["linear"], jax.nn.silu(emb))
+    scale, shift = jnp.split(mod, 2, axis=-1)
+    return nn.layernorm_noaffine(x, eps) * (1 + scale[:, None]) + shift[:, None]
+
+
+def _project_cross(p_attn, cfg: DiTConfig, seq, which: str):
+    """Per-block cross K/V projection: K is RMS-normed per head (dit.py:80-86)."""
+    b, t, _ = seq.shape
+    h, d = cfg.heads, cfg.head_dim
+    k = nn.linear(p_attn[f"to_k_{which}"], seq).reshape(b, t, h, d)
+    k = nn.rmsnorm(p_attn["k_norm_cross"], k, 1e-6)
+    v = nn.linear(p_attn[f"to_v_{which}"], seq).reshape(b, t, h, d)
+    return k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+
+
+def _self_qkv(p_attn, cfg: DiTConfig, x, rope_freqs):
+    b, t, _ = x.shape
+    h, d = cfg.heads, cfg.head_dim
+    q = nn.rmsnorm(p_attn["q_norm"], nn.linear(p_attn["to_q"], x).reshape(b, t, h, d), 1e-6)
+    k = nn.rmsnorm(p_attn["k_norm"], nn.linear(p_attn["to_k_self"], x).reshape(b, t, h, d), 1e-6)
+    v = nn.linear(p_attn["to_v_self"], x).reshape(b, t, h, d).transpose(0, 2, 1, 3)
+    q = apply_rope_interleaved(q.transpose(0, 2, 1, 3), rope_freqs)
+    k = apply_rope_interleaved(k.transpose(0, 2, 1, 3), rope_freqs)
+    return q, k, v
+
+
+def _attend(p_attn, x_norm, q, k, v, mask, joint_key_mask):
+    """One fused SDPA over [self | ref | text] keys + sigmoid gate (dit.py:110-119)."""
+    gate = nn.linear(p_attn["gate"], x_norm)
+    out = nn.sdpa(q, k, v, key_mask=joint_key_mask)
+    b, h, t, d = out.shape
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+    out = out * jax.nn.sigmoid(gate)
+    out = nn.linear(p_attn["to_out"], out)
+    return jnp.where(mask[..., None], out, 0.0)
+
+
+def _ff(p, x):
+    return nn.linear(p["w2"], jax.nn.silu(nn.linear(p["w1"], x)) * nn.linear(p["w3"], x))
+
+
+def _block_core(blk, cfg: DiTConfig, x, emb, mask, joint_key_mask, rope_freqs, kv: Tuple):
+    """Shared block body; `kv` is ((k_ref, v_ref, k_text, v_text)) already projected."""
+    norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = _adaln_zero(blk["attn_norm"], x, emb)
+    q, k_self, v_self = _self_qkv(blk["attn"], cfg, norm, rope_freqs)
+    k = jnp.concatenate([k_self, kv[0], kv[2]], axis=2)
+    v = jnp.concatenate([v_self, kv[1], kv[3]], axis=2)
+    attn_out = _attend(blk["attn"], norm, q, k, v, mask, joint_key_mask)
+    x = x + jnp.tanh(gate_msa)[:, None] * attn_out
+    norm2 = nn.layernorm_noaffine(x) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+    x = x + jnp.tanh(gate_mlp)[:, None] * _ff(blk["ff"], norm2)
+    return x
+
+
+# ----------------------------------------------------------------- public API
+
+
+def _rope_slice(cfg: DiTConfig, seq_len: int) -> jax.Array:
+    return jnp.asarray(rope_table_interleaved(seq_len, cfg.rot_dim))
+
+
+def dit_forward(
+    p,
+    cfg: DiTConfig,
+    x: jax.Array,
+    ref_seq: jax.Array,
+    ref_mask: jax.Array,
+    phoneme_embedding: jax.Array,
+    phonemes_mask: jax.Array,
+    time_embedding: jax.Array,
+    mask: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full (uncached) forward: returns (hidden (B,T,H), features (B,L,T,H)).
+
+    The stacked per-layer features (for the discriminator) are the scan's
+    stacked outputs — free, unlike the reference's Python list append
+    (dit.py:346-367).
+    """
+    x = _input_embed(p["input_embed"], cfg, x, mask)
+    rope = _rope_slice(cfg, x.shape[1])
+    phoneme_mem = nn.linear(p["phoneme_proj"], phoneme_embedding)
+    phoneme_mem = jnp.where(phonemes_mask[..., None], phoneme_mem, 0.0)
+    emb = _emb_proj(p["emb_proj"], time_embedding)
+    joint_key_mask = jnp.concatenate([mask, ref_mask, phonemes_mask], axis=1)
+
+    def body(carry, blk):
+        kv_ref = _project_cross(blk["attn"], cfg, ref_seq, "ref")
+        kv_text = _project_cross(blk["attn"], cfg, phoneme_mem, "text")
+        out = _block_core(
+            blk, cfg, carry, emb, mask, joint_key_mask, rope,
+            (kv_ref[0], kv_ref[1], kv_text[0], kv_text[1]),
+        )
+        return out, out
+
+    body_fn = jax.checkpoint(body) if cfg.remat else body
+    x, feats = lax.scan(body_fn, x, p["blocks"])
+    x = _adaln_final(p["norm_out"], x, emb)
+    return x, feats.transpose(1, 0, 2, 3)
+
+
+def dit_encode_cross_kv(
+    p,
+    cfg: DiTConfig,
+    ref_seq: jax.Array,
+    phoneme_embedding: jax.Array,
+    phonemes_mask: jax.Array,
+) -> CrossKV:
+    """Precompute all-layer cross K/V once per utterance (dit.py:300-314)."""
+    phoneme_mem = nn.linear(p["phoneme_proj"], phoneme_embedding)
+    phoneme_mem = jnp.where(phonemes_mask[..., None], phoneme_mem, 0.0)
+
+    def body(_, blk):
+        k_ref, v_ref = _project_cross(blk["attn"], cfg, ref_seq, "ref")
+        k_text, v_text = _project_cross(blk["attn"], cfg, phoneme_mem, "text")
+        return None, (k_ref, v_ref, k_text, v_text)
+
+    _, (k_ref, v_ref, k_text, v_text) = lax.scan(body, None, p["blocks"])
+    return CrossKV(k_ref, v_ref, k_text, v_text)
+
+
+def dit_forward_cached(
+    p,
+    cfg: DiTConfig,
+    x: jax.Array,
+    time_embedding: jax.Array,
+    mask: jax.Array,
+    cached: CrossKV,
+    ref_mask: jax.Array,
+    phonemes_mask: jax.Array,
+) -> jax.Array:
+    """Denoise-step forward reusing the cross-KV cache (dit.py:316-327)."""
+    x = _input_embed(p["input_embed"], cfg, x, mask)
+    rope = _rope_slice(cfg, x.shape[1])
+    emb = _emb_proj(p["emb_proj"], time_embedding)
+    joint_key_mask = jnp.concatenate([mask, ref_mask, phonemes_mask], axis=1)
+
+    def body(carry, scanned):
+        blk, kv = scanned
+        out = _block_core(blk, cfg, carry, emb, mask, joint_key_mask, rope, kv)
+        return out, None
+
+    x, _ = lax.scan(body, x, (p["blocks"], tuple(cached)))
+    return _adaln_final(p["norm_out"], x, emb)

@@ -1,0 +1,151 @@
+"""Functional NN primitives: param-pytree init + pure apply functions.
+
+Design: every layer is `init_*(key, ...) -> dict` plus a pure apply function.
+No module objects, no framework — params are plain nested dicts of jnp arrays,
+so sharding (jax.sharding.NamedSharding), donation, and checkpointing operate
+on a transparent pytree. Matmuls always pass `preferred_element_type=float32`
+so bf16 params accumulate in fp32 on the MXU; norms compute in fp32 and cast
+back, the standard TPU mixed-precision recipe.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# --------------------------------------------------------------------------- init
+
+
+def _uniform(key, shape, bound, dtype):
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def init_linear(key, in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.float32):
+    """Torch-compatible fan-in uniform init; weight stored (in_dim, out_dim)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {"w": _uniform(kw, (in_dim, out_dim), bound, dtype)}
+    if bias:
+        p["b"] = _uniform(kb, (out_dim,), bound, dtype)
+    return p
+
+
+def init_zeros_linear(in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.float32):
+    """Zero-initialized linear (adaLN-zero modulation / velocity head)."""
+    p = {"w": jnp.zeros((in_dim, out_dim), dtype)}
+    if bias:
+        p["b"] = jnp.zeros((out_dim,), dtype)
+    return p
+
+
+def init_embedding(key, vocab: int, dim: int, dtype=jnp.float32):
+    return {"w": jax.random.normal(key, (vocab, dim), dtype)}
+
+
+def init_rmsnorm(shape, dtype=jnp.float32):
+    if isinstance(shape, int):
+        shape = (shape,)
+    return {"scale": jnp.ones(shape, dtype)}
+
+
+def init_conv1d(key, c_in: int, c_out: int, k: int, groups: int = 1, dtype=jnp.float32):
+    """Torch Conv1d-compatible init; kernel stored (k, c_in//groups, c_out)
+    — the HIO layout for channel-last lax convolutions."""
+    kw, kb = jax.random.split(key)
+    fan_in = (c_in // groups) * k
+    bound = 1.0 / math.sqrt(fan_in)
+    return {
+        "w": _uniform(kw, (k, c_in // groups, c_out), bound, dtype),
+        "b": _uniform(kb, (c_out,), bound, dtype),
+    }
+
+
+# -------------------------------------------------------------------------- apply
+
+
+def linear(p, x: jax.Array) -> jax.Array:
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def embedding(p, ids: jax.Array) -> jax.Array:
+    return jnp.take(p["w"], ids, axis=0)
+
+
+def rmsnorm(p, x: jax.Array, eps: float) -> jax.Array:
+    """RMS norm over the last dim, scale may be (D,) or (H, D) broadcast
+    (reference: src/smalltts/models/backbone/dit.py:42-53)."""
+    xf = x.astype(jnp.float32)
+    inv = lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * inv * p["scale"].astype(jnp.float32)).astype(x.dtype)
+
+
+def layernorm_noaffine(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return ((xf - mu) * lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def conv1d(p, x: jax.Array, groups: int = 1, padding: str | int = "SAME") -> jax.Array:
+    """Channel-last grouped 1-D conv: x (B, T, C_in) -> (B, T', C_out)."""
+    if isinstance(padding, int):
+        pad = [(padding, padding)]
+    else:
+        pad = padding
+    y = lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(1,),
+        padding=pad,
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def mish(x: jax.Array) -> jax.Array:
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def mask_value(dtype) -> float:
+    """Large-negative finite additive-mask value (safe softmax; keeps padded
+    rows finite where torch SDPA would produce NaN that downstream masking
+    then overwrites — consumed outputs are identical)."""
+    return -1e9 if dtype == jnp.float32 else -3e4
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Scaled dot-product attention, (B, H, Tq, D) x (B, H, Tk, D).
+
+    key_mask: optional (B, Tk) bool — True = attend. bias: optional additive
+    (broadcastable to (B, H, Tq, Tk)). Softmax in fp32.
+    """
+    d = q.shape[-1]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * (1.0 / math.sqrt(d))
+    if key_mask is not None:
+        scores = jnp.where(
+            key_mask[:, None, None, :], scores, mask_value(jnp.float32)
+        )
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32).astype(
+        q.dtype
+    )

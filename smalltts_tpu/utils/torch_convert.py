@@ -1,0 +1,185 @@
+"""Convert reference (torch) checkpoints into our parameter pytrees.
+
+The reference distributes teacher / DMD student checkpoints as torch
+state_dicts (reference: src/scripts/train/teacher.py:160-171,
+src/scripts/train/dmd2/distill.py:465-479). This module maps those key
+layouts onto our stacked-pytree parameterization:
+
+* torch Linear weight (out, in)     -> ours (in, out)      [transpose]
+* torch Conv1d  weight (out, in, k) -> ours (k, in, out)   [HIO, channel-last]
+* per-block weights ....{i}....     -> stacked leading-dim-L leaves (lax.scan)
+
+Also implements the reference's tolerant prefix-cleaning rules
+(distill.py:39-57: strip module./_orig_mod./ema_model./online_model.,
+drop initted/step keys) so EMA / compiled / DDP checkpoints all load.
+
+Works on numpy arrays — call `state_dict_to_numpy` on a torch state_dict
+first; torch is only imported inside that helper so the rest of the framework
+never depends on it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+_PREFIXES = ("module.", "_orig_mod.", "ema_model.", "online_model.")
+
+
+def clean_state_dict_keys(sd: Dict[str, "np.ndarray"]) -> Dict[str, "np.ndarray"]:
+    cleaned = {}
+    for k, v in sd.items():
+        if k in ("initted", "step"):
+            continue
+        for prefix in _PREFIXES:
+            while k.startswith(prefix):
+                k = k[len(prefix):]
+        k = k.replace("._orig_mod.", ".")
+        cleaned[k] = v
+    return cleaned
+
+
+def state_dict_to_numpy(sd) -> Dict[str, np.ndarray]:
+    import torch  # local: torch is an optional conversion-time dependency
+
+    return {
+        k: v.detach().cpu().float().numpy()
+        for k, v in sd.items()
+        if isinstance(v, torch.Tensor)
+    }
+
+
+def _lin(sd, key, bias=True):
+    p = {"w": np.ascontiguousarray(sd[f"{key}.weight"].T)}
+    if bias:
+        p["b"] = sd[f"{key}.bias"]
+    return p
+
+
+def _conv1d(sd, key):
+    # torch (C_out, C_in/groups, K) -> HIO (K, C_in/groups, C_out)
+    return {
+        "w": np.ascontiguousarray(sd[f"{key}.weight"].transpose(2, 1, 0)),
+        "b": sd[f"{key}.bias"],
+    }
+
+
+def _norm(sd, key):
+    return {"scale": sd[f"{key}.weight"]}
+
+
+def _encoder_block(sd, pre):
+    return {
+        "attn": {
+            "wq": _lin(sd, f"{pre}.attention.wq", bias=False),
+            "wk": _lin(sd, f"{pre}.attention.wk", bias=False),
+            "wv": _lin(sd, f"{pre}.attention.wv", bias=False),
+            "wo": _lin(sd, f"{pre}.attention.wo", bias=False),
+            "gate": _lin(sd, f"{pre}.attention.gate", bias=False),
+            "q_norm": _norm(sd, f"{pre}.attention.q_norm"),
+            "k_norm": _norm(sd, f"{pre}.attention.k_norm"),
+        },
+        "mlp": {
+            "w1": _lin(sd, f"{pre}.mlp.w1", bias=False),
+            "w3": _lin(sd, f"{pre}.mlp.w3", bias=False),
+            "w2": _lin(sd, f"{pre}.mlp.w2", bias=False),
+        },
+        "attention_norm": _norm(sd, f"{pre}.attention_norm"),
+        "mlp_norm": _norm(sd, f"{pre}.mlp_norm"),
+    }
+
+
+def _dit_block(sd, pre):
+    return {
+        "attn_norm": {"linear": _lin(sd, f"{pre}.attn_norm.linear")},
+        "attn": {
+            "to_q": _lin(sd, f"{pre}.attn.to_q"),
+            "to_k_self": _lin(sd, f"{pre}.attn.to_k_self"),
+            "to_v_self": _lin(sd, f"{pre}.attn.to_v_self"),
+            "gate": _lin(sd, f"{pre}.attn.gate", bias=False),
+            "to_out": _lin(sd, f"{pre}.attn.to_out.0", bias=False),
+            "q_norm": _norm(sd, f"{pre}.attn.q_norm"),
+            "k_norm": _norm(sd, f"{pre}.attn.k_norm"),
+            "to_k_ref": _lin(sd, f"{pre}.attn.to_k_ref"),
+            "to_v_ref": _lin(sd, f"{pre}.attn.to_v_ref"),
+            "to_k_text": _lin(sd, f"{pre}.attn.to_k_text"),
+            "to_v_text": _lin(sd, f"{pre}.attn.to_v_text"),
+            "k_norm_cross": _norm(sd, f"{pre}.attn.k_norm_cross"),
+        },
+        "ff": {
+            "w1": _lin(sd, f"{pre}.ff.w1"),
+            "w3": _lin(sd, f"{pre}.ff.w3"),
+            "w2": _lin(sd, f"{pre}.ff.w2"),
+        },
+    }
+
+
+def _stack(blocks):
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *blocks)
+
+
+def _count_blocks(sd, prefix: str) -> int:
+    idx = len(prefix.split("."))
+    return max(int(k.split(".")[idx]) + 1 for k in sd if k.startswith(prefix + "."))
+
+
+def convert_text_encoder_state_dict(sd: Dict[str, np.ndarray], prefix: str = ""):
+    """Standalone reference TextEncoder state_dict -> our pytree."""
+    p = (prefix + ".") if prefix else ""
+    n = _count_blocks(sd, f"{p}blocks" if p else "blocks")
+    return {
+        "text_embedding": {"w": sd[f"{p}text_embedding.weight"]},
+        "blocks": [_encoder_block(sd, f"{p}blocks.{i}") for i in range(n)],
+        "norm": _norm(sd, f"{p}norm"),
+    }
+
+
+def convert_style_encoder_state_dict(sd: Dict[str, np.ndarray], prefix: str = ""):
+    p = (prefix + ".") if prefix else ""
+    n = _count_blocks(sd, f"{p}blocks" if p else "blocks")
+    return {
+        "in_proj": _lin(sd, f"{p}in_proj"),
+        "log_scale": sd[f"{p}log_scale"],
+        "blocks": [_encoder_block(sd, f"{p}blocks.{i}") for i in range(n)],
+        "norm": _norm(sd, f"{p}norm"),
+        "out_proj": _lin(sd, f"{p}out_proj"),
+    }
+
+
+def convert_dit_state_dict(sd: Dict[str, np.ndarray], prefix: str = ""):
+    p = (prefix + ".") if prefix else ""
+    n = _count_blocks(sd, f"{p}transformer_blocks" if p else "transformer_blocks")
+    return {
+        "input_embed": {
+            "proj": _lin(sd, f"{p}input_embed.proj"),
+            "conv1": _conv1d(sd, f"{p}input_embed.conv_pos_embed.conv1"),
+            "conv2": _conv1d(sd, f"{p}input_embed.conv_pos_embed.conv2"),
+        },
+        "phoneme_proj": _lin(sd, f"{p}phoneme_proj"),
+        "emb_proj": {
+            "l1": _lin(sd, f"{p}emb_proj.0"),
+            "l2": _lin(sd, f"{p}emb_proj.2"),
+        },
+        "blocks": _stack(
+            [_dit_block(sd, f"{p}transformer_blocks.{i}") for i in range(n)]
+        ),
+        "norm_out": {"linear": _lin(sd, f"{p}norm_out.linear")},
+    }
+
+
+def convert_backbone_state_dict(sd: Dict[str, np.ndarray], n_dit_blocks: int = 12):
+    """Reference DiTModel state_dict -> our backbone param pytree (numpy leaves)."""
+    sd = clean_state_dict_keys(sd)
+    return {
+        "time_embedding": {
+            "l1": _lin(sd, "time_embedding.mlp.0"),
+            "l2": _lin(sd, "time_embedding.mlp.2"),
+        },
+        "phoneme_embedding": convert_text_encoder_state_dict(sd, "phoneme_embedding"),
+        "style_encoder": convert_style_encoder_state_dict(sd, "style_encoder"),
+        "dit": convert_dit_state_dict(sd, "dit"),
+        "velocity": _lin(sd, "velocity"),
+    }
