@@ -1,0 +1,263 @@
+"""SmallTTS: the user-facing inference pipeline.
+
+Capability parity with the reference Python runtime + Rust server pipeline
+(reference: src/smalltts/infer/onnx.py:50-159, src/server/src/pipeline.rs:40-174):
+`synthesize(ref_latents, phoneme_ids, duration_sec) -> audio`, duration
+heuristic len(text)/11.5 clamped [0.5, 30] s, transcription-prepend batch API,
+and per-stage timing (codec_enc / cond_enc / denoise / codec_dec).
+
+TPU-native: everything the reference splits across 4 ONNX sessions plus
+host-side glue (RoPE tables, noise, alpha/sigma, the step loop) is ONE jitted
+graph per length bucket (see infer.sampler). Inputs snap to fixed-shape
+buckets (data.bucketing) so XLA never recompiles per request.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smalltts_tpu.data.bucketing import (
+    HOP_SIZE,
+    LATENT_BUCKETS,
+    PHONEME_BUCKETS,
+    REF_BUCKETS,
+    SAMPLE_RATE,
+    frames_for_duration,
+    pad_to,
+    pick_bucket,
+)
+from smalltts_tpu.infer.sampler import NUM_STEPS, make_synthesize_fn, _sample_loop
+from smalltts_tpu.models.backbone import BackboneConfig, encode_conditions, init_backbone
+from smalltts_tpu.models.codec import CodecConfig, codec_decode, codec_encode, init_codec
+from smalltts_tpu.ops.masking import length_mask
+
+CHARS_PER_SECOND = 11.5
+
+
+def estimate_duration(text: str, min_sec: float = 0.5, max_sec: float = 30.0) -> float:
+    """Duration heuristic (reference: src/smalltts/infer/onnx.py:17-18)."""
+    return max(min_sec, min(len(text) / CHARS_PER_SECOND, max_sec))
+
+
+@dataclass
+class Timing:
+    """Per-stage wall-clock ms (reference: src/server/src/pipeline.rs:29-37)."""
+
+    codec_enc_ms: float = 0.0
+    cond_enc_ms: float = 0.0
+    denoise_ms: float = 0.0
+    codec_dec_ms: float = 0.0
+    total_ms: float = 0.0
+
+
+class SmallTTS:
+    """DMD 4-step inference (no CFG), fused per-bucket XLA graphs.
+
+    Weights: pass pytrees directly, or paths to our .npz checkpoints, or a
+    reference torch checkpoint path — or nothing, for random-init (shape/perf
+    work). Floating params are cast to `dtype` (bf16 on TPU by default).
+    """
+
+    def __init__(
+        self,
+        backbone_params=None,
+        codec_params=None,
+        *,
+        checkpoint: Optional[str] = None,
+        codec_checkpoint: Optional[str] = None,
+        cfg: BackboneConfig = None,
+        codec_cfg: CodecConfig = None,
+        dtype=None,
+        num_steps: int = NUM_STEPS,
+        seed: int = 0,
+    ) -> None:
+        self.cfg = cfg or BackboneConfig()
+        self.codec_cfg = codec_cfg or CodecConfig()
+        self.num_steps = num_steps
+        if dtype is None:
+            dtype = (
+                jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
+            )
+        self.dtype = dtype
+
+        from smalltts_tpu.utils import checkpoint as ckpt
+
+        if backbone_params is None:
+            if checkpoint and checkpoint.endswith((".pt", ".pth", ".bin")):
+                backbone_params = ckpt.load_reference_backbone_checkpoint(checkpoint)
+            elif checkpoint:
+                backbone_params = ckpt.load_pytree(checkpoint)
+            else:
+                backbone_params = init_backbone(jax.random.PRNGKey(seed), self.cfg)
+        if codec_params is None:
+            if codec_checkpoint:
+                codec_params = ckpt.load_pytree(codec_checkpoint)
+            else:
+                codec_params = init_codec(jax.random.PRNGKey(seed + 1), self.codec_cfg)
+
+        self.params = jax.device_put(ckpt.cast_floating(backbone_params, dtype))
+        self.codec_params = jax.device_put(
+            ckpt.cast_floating(codec_params, jnp.float32)
+        )
+        self._synthesize_fn = make_synthesize_fn(self.cfg, self.codec_cfg, num_steps)
+        self._key = jax.random.PRNGKey(seed + 2)
+
+        self._encode_fn = jax.jit(partial(codec_encode, cfg=self.codec_cfg))
+        self._decode_fn = jax.jit(partial(codec_decode, cfg=self.codec_cfg))
+        self._cond_fn = jax.jit(partial(self._cond_encode))
+        self._denoise_fn = jax.jit(
+            partial(self._denoise_loop), static_argnames=("t_bucket",)
+        )
+
+    # ------------------------------------------------------------- staged fns
+
+    def _cond_encode(self, params, ref_latents, ref_lengths, phonemes, ph_lengths):
+        ph_mask = length_mask(ph_lengths, phonemes.shape[1])
+        return encode_conditions(params, self.cfg, ref_latents, ref_lengths, phonemes, ph_mask)
+
+    def _denoise_loop(self, params, cond, seq_lengths, key, t_bucket: int):
+        return _sample_loop(
+            params, self.cfg, cond, seq_lengths, t_bucket, key, self.num_steps, None
+        )
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------------- public API
+
+    def encode_reference(self, audio_24k: np.ndarray) -> np.ndarray:
+        """Mono 24 kHz waveform (T,) -> reference latents (T', 64)."""
+        t = len(audio_24k)
+        pad = (-t) % HOP_SIZE
+        audio = np.pad(audio_24k.astype(np.float32), (0, pad))[None, None, :]
+        return np.asarray(self._encode_fn(self.codec_params, jnp.asarray(audio))[0])
+
+    def synthesize_padded(
+        self,
+        ref_latents: np.ndarray,      # (B, R_bucket, 64)
+        ref_lengths: np.ndarray,      # (B,)
+        phonemes: np.ndarray,         # (B, P_bucket)
+        phoneme_lengths: np.ndarray,  # (B,)
+        seq_lengths: np.ndarray,      # (B,)
+        t_bucket: int,
+        key=None,
+    ) -> np.ndarray:
+        """Batched bucket-padded synthesis -> (B, 1, t_bucket*HOP) waveform.
+        This is the server batcher's entry point."""
+        audio = self._synthesize_fn(
+            self.params,
+            self.codec_params,
+            jnp.asarray(ref_latents, self.dtype),
+            jnp.asarray(ref_lengths, jnp.int32),
+            jnp.asarray(phonemes, jnp.int32),
+            jnp.asarray(phoneme_lengths, jnp.int32),
+            jnp.asarray(seq_lengths, jnp.int32),
+            key if key is not None else self._next_key(),
+            t_bucket=t_bucket,
+        )
+        return np.asarray(jax.device_get(audio))
+
+    def _bucketize(self, ref_latents, phoneme_ids, duration_sec):
+        seq_len = frames_for_duration(duration_sec)
+        t_bucket = pick_bucket(seq_len, LATENT_BUCKETS)
+        seq_len = min(seq_len, t_bucket)
+        r_bucket = pick_bucket(len(ref_latents), REF_BUCKETS)
+        ref_len = min(len(ref_latents), r_bucket)
+        ref = pad_to(np.asarray(ref_latents, np.float32), r_bucket, axis=0)
+        p_bucket = pick_bucket(max(len(phoneme_ids), 1), PHONEME_BUCKETS)
+        ph_len = min(len(phoneme_ids), p_bucket)
+        ph = np.zeros((p_bucket,), np.int32)
+        ph[:ph_len] = np.asarray(phoneme_ids[:ph_len], np.int32)
+        return ref, ref_len, ph, ph_len, seq_len, t_bucket
+
+    def synthesize(
+        self,
+        ref_latents: np.ndarray,
+        phoneme_ids: Sequence[int],
+        duration_sec: float,
+        key=None,
+    ) -> np.ndarray:
+        """Single-utterance synthesis -> (1, samples) float32 at 24 kHz
+        (reference: src/smalltts/infer/onnx.py:68-129)."""
+        ref, ref_len, ph, ph_len, seq_len, t_bucket = self._bucketize(
+            ref_latents, list(phoneme_ids), duration_sec
+        )
+        audio = self.synthesize_padded(
+            ref[None], np.array([ref_len]), ph[None], np.array([ph_len]),
+            np.array([seq_len]), t_bucket, key,
+        )
+        return audio[0, :, : seq_len * HOP_SIZE]
+
+    def synthesize_timed(self, ref_audio_24k, phoneme_ids, duration_sec):
+        """Staged synthesis with per-stage timing parity
+        (reference: src/server/src/pipeline.rs:60-112)."""
+        timing = Timing()
+        t0 = time.perf_counter()
+
+        ref_latents = self.encode_reference(np.asarray(ref_audio_24k))
+        t1 = time.perf_counter()
+        timing.codec_enc_ms = (t1 - t0) * 1e3
+
+        ref, ref_len, ph, ph_len, seq_len, t_bucket = self._bucketize(
+            ref_latents, list(phoneme_ids), duration_sec
+        )
+        cond = self._cond_fn(
+            self.params,
+            jnp.asarray(ref[None], self.dtype),
+            jnp.asarray([ref_len], jnp.int32),
+            jnp.asarray(ph[None], jnp.int32),
+            jnp.asarray([ph_len], jnp.int32),
+        )
+        jax.block_until_ready(cond.cross_kv.k_ref)
+        t2 = time.perf_counter()
+        timing.cond_enc_ms = (t2 - t1) * 1e3
+
+        latents = self._denoise_fn(
+            self.params, cond, jnp.asarray([seq_len], jnp.int32),
+            self._next_key(), t_bucket=t_bucket,
+        )
+        latents = jax.block_until_ready(latents)
+        t3 = time.perf_counter()
+        timing.denoise_ms = (t3 - t2) * 1e3
+
+        audio = self._decode_fn(self.codec_params, latents.astype(jnp.float32))
+        audio = np.asarray(jax.device_get(audio))[0, :, : seq_len * HOP_SIZE]
+        t4 = time.perf_counter()
+        timing.codec_dec_ms = (t4 - t3) * 1e3
+        timing.total_ms = (t4 - t0) * 1e3
+        return audio, timing
+
+    def forward(
+        self,
+        conditionings: List[np.ndarray],
+        transcriptions: list,
+        texts: list,
+        duration_sec: float = 3.0,
+    ) -> List[np.ndarray]:
+        """Batch API prepending transcription tokens to text tokens
+        (reference: src/smalltts/infer/onnx.py:131-157)."""
+        from smalltts_tpu.text import get_token_ids
+
+        results = []
+        for cond, trans, text in zip(conditionings, transcriptions, texts):
+            trans_tok = (
+                get_token_ids(trans) if isinstance(trans, str) else list(map(int, trans))
+            )
+            text_tok = (
+                get_token_ids(text) if isinstance(text, str) else list(map(int, text))
+            )
+            audio = self.synthesize(
+                np.asarray(cond, np.float32), trans_tok + text_tok, duration_sec
+            )
+            results.append(audio)
+        return results
+
+    __call__ = forward

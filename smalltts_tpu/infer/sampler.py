@@ -1,0 +1,123 @@
+"""4-step DMD sampler as ONE jitted TPU graph.
+
+Behavioral parity with the reference sampling loop
+(reference: src/smalltts/infer/onnx.py:98-129 and
+src/server/src/pipeline.rs:60-112): for t in linspace(1, 0, 4) —
+re-noise the running estimate with FRESH noise at level t, evaluate the
+denoiser (velocity), update x_pred = alpha*x_t - sigma*velocity; x_pred
+starts at zeros; no CFG; finally codec-decode.
+
+TPU-first: where the reference round-trips host<->device per ONNX session
+call per step (4 denoiser calls + cond-encode + codec decode = 6+ transfers
+with rank-5 KV ndarrays, pipeline.rs:122-174), here condition encoding, the
+`lax.fori_loop` over steps (cross-KV threaded as loop-invariant), on-device
+PRNG, and codec decode compile into a single XLA program per length bucket.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from smalltts_tpu.models.backbone import (
+    BackboneConfig,
+    denoise_step,
+    encode_conditions,
+)
+from smalltts_tpu.models.codec import CodecConfig, codec_decode
+from smalltts_tpu.ops.masking import length_mask
+from smalltts_tpu.ops.schedule import get_alpha_sigma
+
+NUM_STEPS = 4
+
+
+def sample_latents(
+    params,
+    cfg: BackboneConfig,
+    ref_latents: jax.Array,      # (B, R, 64)
+    ref_lengths: jax.Array,      # (B,)
+    phonemes: jax.Array,         # (B, P)
+    phoneme_lengths: jax.Array,  # (B,)
+    seq_lengths: jax.Array,      # (B,) true latent frame counts
+    key: jax.Array,
+    num_steps: int = NUM_STEPS,
+    noises: Optional[jax.Array] = None,  # (num_steps, B, T, 64) parity injection
+) -> jax.Array:
+    """Run cond-encode + the 4-step loop; returns masked latents (B, T, 64)."""
+    b, t_bucket = phonemes.shape[0], None
+    ph_mask = length_mask(phoneme_lengths, phonemes.shape[1])
+    cond = encode_conditions(params, cfg, ref_latents, ref_lengths, phonemes, ph_mask)
+
+    # bucket length comes from the (static) noises shape or caller-built mask
+    t_bucket = noises.shape[2] if noises is not None else None
+    if t_bucket is None:
+        raise ValueError("pass `noises` or use sample_latents_bucket")
+    return _sample_loop(
+        params, cfg, cond, seq_lengths, t_bucket, key, num_steps, noises
+    )
+
+
+def _sample_loop(params, cfg, cond, seq_lengths, t_bucket, key, num_steps, noises):
+    b = seq_lengths.shape[0]
+    mask = length_mask(seq_lengths, t_bucket)
+    ts = jnp.linspace(1.0, 0.0, num_steps, dtype=jnp.float32)
+    dtype = params["velocity"]["w"].dtype
+    x0 = jnp.zeros((b, t_bucket, cfg.latent_dim), dtype)
+
+    def body(i, carry):
+        x_pred, k = carry
+        t_scalar = ts[i]
+        alpha, sigma = get_alpha_sigma(t_scalar)
+        alpha = alpha.astype(dtype)
+        sigma = sigma.astype(dtype)
+        if noises is None:
+            k, sub = jax.random.split(k)
+            noise = jax.random.normal(sub, x_pred.shape, dtype)
+        else:
+            noise = lax.dynamic_index_in_dim(noises, i, keepdims=False).astype(dtype)
+        x_t = alpha * x_pred + sigma * noise
+        t_vec = jnp.full((b,), t_scalar, jnp.float32)
+        velocity = denoise_step(params, cfg, x_t, mask, t_vec, cond)
+        x_pred = alpha * x_t - sigma * velocity
+        return (x_pred, k)
+
+    x_pred, _ = lax.fori_loop(0, num_steps, body, (x0, key))
+    return jnp.where(mask[..., None], x_pred, 0.0)
+
+
+def make_synthesize_fn(
+    cfg: BackboneConfig,
+    codec_cfg: CodecConfig,
+    num_steps: int = NUM_STEPS,
+):
+    """Build the fused synthesize graph: (params, codec_params, inputs) -> waveform.
+
+    Shapes are static per call signature; jit caches one executable per
+    (batch, ref bucket, phoneme bucket, latent bucket) combination.
+    """
+
+    @partial(jax.jit, static_argnames=("t_bucket",))
+    def synthesize(
+        params,
+        codec_params,
+        ref_latents,
+        ref_lengths,
+        phonemes,
+        phoneme_lengths,
+        seq_lengths,
+        key,
+        t_bucket: int,
+    ):
+        ph_mask = length_mask(phoneme_lengths, phonemes.shape[1])
+        cond = encode_conditions(params, cfg, ref_latents, ref_lengths, phonemes, ph_mask)
+        latents = _sample_loop(
+            params, cfg, cond, seq_lengths, t_bucket, key, num_steps, None
+        )
+        audio = codec_decode(codec_params, latents.astype(jnp.float32), codec_cfg)
+        return audio  # (B, 1, t_bucket * hop)
+
+    return synthesize

@@ -70,7 +70,7 @@ def init_backbone(key, cfg: BackboneConfig = BackboneConfig(), dtype=jnp.float32
             "l2": nn.init_linear(ks[1], h, h, dtype=dtype),
         },
         "phoneme_embedding": init_text_encoder(ks[2], cfg.vocab_size, cfg.text, dtype),
-        "style_encoder": init_style_encoder(ks[3], h, cfg.style, dtype),
+        "style_encoder": init_style_encoder(ks[3], h, cfg.style, dtype, latent_dim=cfg.latent_dim),
         "dit": init_dit(ks[4], cfg.dit, dtype),
         "velocity": nn.init_zeros_linear(h, cfg.latent_dim, dtype=dtype),
     }

@@ -26,10 +26,16 @@ STYLE_ENCODER_CONFIG = EncoderConfig(
 )
 
 
-def init_style_encoder(key, out_dim: int, cfg: EncoderConfig = STYLE_ENCODER_CONFIG, dtype=jnp.float32):
+def init_style_encoder(
+    key,
+    out_dim: int,
+    cfg: EncoderConfig = STYLE_ENCODER_CONFIG,
+    dtype=jnp.float32,
+    latent_dim: int = LATENT_SIZE,
+):
     ks = jax.random.split(key, cfg.num_layers + 2)
     return {
-        "in_proj": nn.init_linear(ks[0], LATENT_SIZE, cfg.model_size, bias=True, dtype=dtype),
+        "in_proj": nn.init_linear(ks[0], latent_dim, cfg.model_size, bias=True, dtype=dtype),
         "log_scale": jnp.asarray(-1.8, dtype),
         "blocks": [init_encoder_block(ks[i + 1], cfg, dtype) for i in range(cfg.num_layers)],
         "norm": nn.init_rmsnorm(cfg.model_size, dtype),

@@ -1,0 +1,103 @@
+"""Pytree checkpointing: flat-key .npz (portable) + torch-checkpoint loading.
+
+Parity with the reference's checkpoint story (reference:
+src/scripts/train/teacher.py:160-171, distill.py:465-479,
+test_checkpoint.py:13-27): portable weight files + tolerant key cleaning.
+Our native format is a flat `a/b/c`-keyed npz — dependency-free, memory-maps,
+and round-trips exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+_SEP = "/"
+_LIST = "#"  # list index marker: blocks#3/attn/...
+
+
+def flatten_pytree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(v, f"{path}{_SEP}{k}" if path else str(k))
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                rec(v, f"{path}{_LIST}{i}")
+        else:
+            out[path] = np.asarray(node)
+
+    rec(tree, prefix)
+    return out
+
+
+def unflatten_pytree(flat: Dict[str, np.ndarray]) -> Any:
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split(_SEP)
+        node = root
+        for i, part in enumerate(parts):
+            last = i == len(parts) - 1
+            if _LIST in part:
+                name, idx = part.split(_LIST)
+                idx = int(idx)
+                lst = node.setdefault(name, [])
+                while len(lst) <= idx:
+                    lst.append({})
+                if last:
+                    lst[idx] = val
+                else:
+                    node = lst[idx]
+            else:
+                if last:
+                    node[part] = val
+                else:
+                    node = node.setdefault(part, {})
+    return root
+
+
+def save_pytree(path: str, tree) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flatten_pytree(jax.device_get(tree)))
+
+
+def load_pytree(path: str):
+    with np.load(path, allow_pickle=False) as data:
+        return unflatten_pytree({k: data[k] for k in data.files})
+
+
+def load_reference_backbone_checkpoint(path: str):
+    """Load a reference torch teacher/DMD checkpoint into our pytree.
+
+    Accepts raw state_dicts, `{"model": ...}` wrappers and the DMD bundle
+    (`student_model` key preferred, distill.py:468-479)."""
+    import torch
+
+    from smalltts_tpu.utils.torch_convert import (
+        convert_backbone_state_dict,
+        state_dict_to_numpy,
+    )
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(ckpt, dict):
+        for key in ("student_model", "model"):
+            if key in ckpt:
+                ckpt = ckpt[key]
+                break
+    return convert_backbone_state_dict(state_dict_to_numpy(ckpt))
+
+
+def cast_floating(tree, dtype):
+    """Cast floating leaves to `dtype` (e.g. bf16 for TPU inference)."""
+    import jax.numpy as jnp
+
+    def cast(x):
+        x = jnp.asarray(x)
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    return jax.tree.map(cast, tree)

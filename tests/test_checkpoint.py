@@ -1,0 +1,49 @@
+"""Checkpoint round-trip + tolerant key cleaning."""
+
+import numpy as np
+
+import jax
+
+from tiny import TINY_BACKBONE
+from smalltts_tpu.models.backbone import init_backbone
+from smalltts_tpu.utils.checkpoint import (
+    flatten_pytree,
+    load_pytree,
+    save_pytree,
+    unflatten_pytree,
+)
+from smalltts_tpu.utils.torch_convert import clean_state_dict_keys
+
+
+def test_flatten_unflatten_roundtrip():
+    params = init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE)
+    flat = flatten_pytree(params)
+    rebuilt = unflatten_pytree(flat)
+    orig_leaves = jax.tree.leaves(params)
+    new_leaves = jax.tree.leaves(rebuilt)
+    assert len(orig_leaves) == len(new_leaves)
+    for a, b in zip(orig_leaves, new_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_save_load_roundtrip(tmp_path):
+    params = init_backbone(jax.random.PRNGKey(1), TINY_BACKBONE)
+    path = str(tmp_path / "ckpt.npz")
+    save_pytree(path, params)
+    loaded = load_pytree(path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_clean_state_dict_keys():
+    """Prefix-cleaning parity (reference: distill.py:39-57)."""
+    sd = {
+        "module._orig_mod.dit.foo": 1,
+        "ema_model.velocity.weight": 2,
+        "online_model.x": 3,
+        "initted": 99,
+        "step": 99,
+        "a._orig_mod.b": 4,
+    }
+    out = clean_state_dict_keys(sd)
+    assert out == {"dit.foo": 1, "velocity.weight": 2, "x": 3, "a.b": 4}
