@@ -116,6 +116,57 @@ def mish(x: jax.Array) -> jax.Array:
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
+def init_batchnorm(ch: int, dtype=jnp.float32):
+    """BatchNorm1d params+state; `mean`/`var` are running state (exclude them
+    from the optimizer via smalltts_tpu.train.optim.trainable_mask)."""
+    return {
+        "scale": jnp.ones((ch,), dtype),
+        "bias": jnp.zeros((ch,), dtype),
+        "mean": jnp.zeros((ch,), jnp.float32),
+        "var": jnp.ones((ch,), jnp.float32),
+    }
+
+
+def batchnorm(p, x: jax.Array, train: bool, mask: Optional[jax.Array] = None,
+              momentum: float = 0.1, eps: float = 1e-5):
+    """Channel-last masked BatchNorm over (B, T, C). Returns (y, new_params)
+    where new_params carries updated running stats when train=True."""
+    xf = x.astype(jnp.float32)
+    if train:
+        if mask is not None:
+            m = mask[..., None].astype(jnp.float32)
+            count = jnp.maximum(m.sum(), 1.0)
+            mean = (xf * m).sum(axis=(0, 1)) / count
+            var = (((xf - mean) ** 2) * m).sum(axis=(0, 1)) / count
+        else:
+            mean = xf.mean(axis=(0, 1))
+            var = xf.var(axis=(0, 1))
+        new_p = dict(p)
+        new_p["mean"] = (1 - momentum) * p["mean"] + momentum * mean
+        new_p["var"] = (1 - momentum) * p["var"] + momentum * var
+    else:
+        mean, var = p["mean"], p["var"]
+        new_p = p
+    y = (xf - mean) * lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32) + p[
+        "bias"
+    ].astype(jnp.float32)
+    return y.astype(x.dtype), new_p
+
+
+def groupnorm(scale: jax.Array, bias: jax.Array, x: jax.Array, num_groups: int = 1,
+              eps: float = 1e-5) -> jax.Array:
+    """Channel-last GroupNorm over (B, T, C) — per-sample, per-timestep groups
+    of channels (torch GroupNorm semantics on (B, C, T) normalizes over C,T;
+    here we normalize over T and the group's channels)."""
+    b, t, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, t, num_groups, c // num_groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * lax.rsqrt(var + eps)
+    xf = xf.reshape(b, t, c)
+    return (xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
 def mask_value(dtype) -> float:
     """Large-negative finite additive-mask value (safe softmax; keeps padded
     rows finite where torch SDPA would produce NaN that downstream masking

@@ -1,0 +1,119 @@
+"""ASR / SV / discriminator: forward+backward shape and loss checks
+(the rebuild's version of the reference inline __main__ smoke tests,
+reference: models/asr.py:55-98, models/discriminator.py:114-165)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from smalltts_tpu.models.asr import ASRConfig, asr_forward, init_asr
+from smalltts_tpu.models.conformer import ConformerConfig
+from smalltts_tpu.models.discriminator import (
+    DiscriminatorConfig,
+    discriminator_forward,
+    init_discriminator,
+)
+from smalltts_tpu.models.sv import SVConfig, init_sv, sv_forward
+from smalltts_tpu.train.optim import trainable_mask
+
+TINY_ASR = ASRConfig(
+    input_dim=16,
+    conformer=ConformerConfig(input_dim=16, num_heads=4, ffn_dim=32, num_layers=2,
+                              depthwise_conv_kernel_size=9),
+)
+TINY_SV = SVConfig(
+    input_dim=16, emb_dim=8, channels=(24, 24, 24, 24, 72),
+    attention_channels=8, res2net_scale=4, se_channels=8,
+)
+TINY_DISC = DiscriminatorConfig(
+    latent_dim=16, transformer_dim=24, ref_dim=24, model_dim=32,
+    conformer=ConformerConfig(input_dim=32, num_heads=4, ffn_dim=64, num_layers=2,
+                              depthwise_conv_kernel_size=7, use_group_norm=True),
+)
+
+
+def test_asr_forward_ctc_backward():
+    params = init_asr(jax.random.PRNGKey(0), TINY_ASR)
+    latents = jax.random.normal(jax.random.PRNGKey(1), (2, 25, 16))
+    lengths = jnp.array([25, 13])
+    labels = jax.random.randint(jax.random.PRNGKey(2), (2, 10), 1, TINY_ASR.vocab)
+    label_lengths = jnp.array([10, 6])
+
+    def loss_fn(p):
+        log_probs, out_lengths, new_p = asr_forward(p, TINY_ASR, latents, lengths, train=True)
+        logit_pad = 1.0 - (jnp.arange(log_probs.shape[1])[None] < out_lengths[:, None])
+        label_pad = 1.0 - (jnp.arange(labels.shape[1])[None] < label_lengths[:, None])
+        loss = optax.ctc_loss(log_probs, logit_pad.astype(jnp.float32), labels,
+                              label_pad.astype(jnp.float32)).mean()
+        return loss, new_p
+
+    (loss, new_p), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    gnorm = optax.global_norm(grads)
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+    # upsample: out length = 4x in length
+    log_probs, out_lengths, _ = asr_forward(params, TINY_ASR, latents, lengths)
+    assert log_probs.shape == (2, 100, TINY_ASR.vocab)
+    np.testing.assert_array_equal(np.asarray(out_lengths), [100, 52])
+
+
+def test_sv_embedding_shapes_and_grad():
+    params = init_sv(jax.random.PRNGKey(0), TINY_SV)
+    latents = jax.random.normal(jax.random.PRNGKey(1), (2, 30, 16))
+    lengths = jnp.array([30, 12])
+
+    def loss_fn(p):
+        emb, new_p = sv_forward(p, TINY_SV, latents, lengths, train=True)
+        return (emb ** 2).mean(), (emb, new_p)
+
+    (loss, (emb, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert emb.shape == (2, 8)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(optax.global_norm(grads)))
+
+
+def test_sv_padding_invariance():
+    """Embedding of a sequence must not change when more padding is appended."""
+    params = init_sv(jax.random.PRNGKey(0), TINY_SV)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 20, 16))
+    emb1, _ = sv_forward(params, TINY_SV, x, jnp.array([20]))
+    x_padded = jnp.concatenate([x, jnp.zeros((1, 11, 16))], axis=1)
+    emb2, _ = sv_forward(params, TINY_SV, x_padded, jnp.array([20]))
+    np.testing.assert_allclose(np.asarray(emb1), np.asarray(emb2), atol=1e-4)
+
+
+def test_discriminator_logits_and_grad():
+    params = init_discriminator(jax.random.PRNGKey(0), TINY_DISC)
+    b, t, r, pl, n_layers = 2, 12, 6, 5, 4
+    feats = jax.random.normal(jax.random.PRNGKey(1), (b, n_layers, t, 24))
+    noised = jax.random.normal(jax.random.PRNGKey(2), (b, t, 16))
+    ref_seq = jax.random.normal(jax.random.PRNGKey(3), (b, r, 24))
+    ref_mask = jnp.array([[True] * r, [True] * 3 + [False] * 3])
+    mask = jnp.ones((b, t), bool)
+    phonemes = jnp.array([[1, 2, 3, 0, 0], [4, 5, 6, 7, 8]])
+    tt = jnp.array([0.2, 0.8])
+
+    def loss_fn(p):
+        logits, new_p = discriminator_forward(
+            p, TINY_DISC, feats, noised, ref_seq, ref_mask, mask, phonemes, tt, train=True
+        )
+        return ((logits - 1.0) ** 2).mean(), logits
+
+    (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert logits.shape == (2,)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(optax.global_norm(grads)))
+
+
+def test_trainable_mask_excludes_bn_stats():
+    params = init_asr(jax.random.PRNGKey(0), TINY_ASR)
+    mask = trainable_mask(params)
+    flat_p = jax.tree_util.tree_flatten_with_path(mask)[0]
+    stats = [p for p, v in flat_p if not v]
+    assert stats, "expected batch-norm stat leaves to be masked"
+    for path, v in flat_p:
+        name = str(getattr(path[-1], "key", ""))
+        assert v == (name not in ("mean", "var"))
