@@ -174,6 +174,18 @@ def mask_value(dtype) -> float:
     return -1e9 if dtype == jnp.float32 else -3e4
 
 
+import os as _os
+
+# Pallas fused attention on TPU: opt-in via env until benchmarked faster by
+# default (bench.py compares both paths)
+_USE_PALLAS_ATTENTION = _os.environ.get("SMALLTTS_PALLAS_ATTENTION", "0") == "1"
+
+
+def set_pallas_attention(enabled: bool) -> None:
+    global _USE_PALLAS_ATTENTION
+    _USE_PALLAS_ATTENTION = enabled
+
+
 def sdpa(
     q: jax.Array,
     k: jax.Array,
@@ -184,8 +196,18 @@ def sdpa(
     """Scaled dot-product attention, (B, H, Tq, D) x (B, H, Tk, D).
 
     key_mask: optional (B, Tk) bool — True = attend. bias: optional additive
-    (broadcastable to (B, H, Tq, Tk)). Softmax in fp32.
+    (broadcastable to (B, H, Tq, Tk)). Softmax in fp32. On TPU the fused
+    Pallas kernel (ops.pallas.attention) handles the masked case when enabled.
     """
+    if (
+        _USE_PALLAS_ATTENTION
+        and bias is None
+        and key_mask is not None
+        and jax.default_backend() == "tpu"
+    ):
+        from smalltts_tpu.ops.pallas.attention import fused_attention
+
+        return fused_attention(q, k, v, key_mask)
     d = q.shape[-1]
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32

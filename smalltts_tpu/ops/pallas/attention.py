@@ -1,0 +1,82 @@
+"""Pallas TPU kernel: fused masked attention for the DiT joint-attention path.
+
+The reference materializes a (B, H, Tq, Tk) float mask and calls a generic
+SDPA (reference: src/smalltts/models/backbone/dit.py:110-119,287-291). TTS
+sequence lengths are small — Tq <= 240 latent frames, Tk <= Tq + 64 ref + 384
+phonemes — so one (batch, head) tile of q/k/v plus the score matrix fits in
+VMEM (~1 MB). The kernel therefore fuses mask -> scores -> softmax -> value
+matmul in a single VMEM-resident pass per (b, h) grid cell: no score matrix
+or mask ever touches HBM, and no online-softmax bookkeeping is needed.
+
+Numerics: fp32 scores/softmax regardless of input dtype (matching ops.nn.sdpa),
+output cast back. Key mask is a (B, S) bool; fully-masked rows produce a
+uniform average (finite), identical to the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
+    q = q_ref[0, 0].astype(jnp.float32)        # (Tq, D)
+    k = k_ref[0, 0].astype(jnp.float32)        # (S, D)
+    v = v_ref[0, 0].astype(jnp.float32)        # (S, D)
+    mask = mask_ref[:]                          # (1, S) bool
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                  # (Tq, S)
+    scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / denom
+    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention(
+    q: jax.Array,      # (B, H, Tq, D)
+    k: jax.Array,      # (B, H, S, D)
+    v: jax.Array,      # (B, H, S, D)
+    key_mask: jax.Array,  # (B, S) bool, True = attend
+    interpret: bool = False,
+) -> jax.Array:
+    b, h, tq, d = q.shape
+    s = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+
+    grid = (b, h)
+    kernel = functools.partial(_attn_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, tq, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tq, d), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * tq * s * d * 2,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=b * h * tq * s,
+        ),
+        interpret=interpret,
+    )(q, k, v, key_mask)
