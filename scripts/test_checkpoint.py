@@ -1,0 +1,98 @@
+"""Checkpoint validator: key/shape diffing + forward + cached-path parity.
+
+Capability parity with the reference validator (reference:
+src/scripts/test_checkpoint.py:13-135): loads a torch teacher/DMD checkpoint
+(or our .npz), reports missing / unexpected / shape-mismatched keys against a
+fresh model, then runs the full forward, the cached-inference split
+(encode_conditions + denoise_step), and the stacked-features forward with
+shape asserts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("checkpoint", help=".pt torch state_dict or .npz pytree")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from smalltts_tpu.models.backbone import (
+        BackboneConfig,
+        backbone_forward,
+        denoise_step,
+        encode_conditions,
+        init_backbone,
+    )
+    from smalltts_tpu.utils import checkpoint as ckpt
+    from smalltts_tpu.utils.checkpoint import flatten_pytree
+
+    cfg = BackboneConfig()
+    reference = jax.eval_shape(
+        lambda k: init_backbone(k, cfg), jax.random.PRNGKey(0)
+    )
+    ref_flat = flatten_pytree(jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), reference))
+
+    if args.checkpoint.endswith((".pt", ".pth", ".bin")):
+        params = ckpt.load_reference_backbone_checkpoint(args.checkpoint)
+    else:
+        params = ckpt.load_pytree(args.checkpoint)
+    got_flat = flatten_pytree(params)
+
+    missing = sorted(set(ref_flat) - set(got_flat))
+    unexpected = sorted(set(got_flat) - set(ref_flat))
+    mismatched = sorted(
+        k for k in set(ref_flat) & set(got_flat)
+        if tuple(np.shape(ref_flat[k])) != tuple(np.shape(got_flat[k]))
+    )
+    print(f"missing keys: {len(missing)}")
+    for k in missing[:20]:
+        print(f"  - {k}")
+    print(f"unexpected keys: {len(unexpected)}")
+    for k in unexpected[:20]:
+        print(f"  + {k}")
+    print(f"shape mismatches: {len(mismatched)}")
+    for k in mismatched[:20]:
+        print(f"  ! {k}: expected {np.shape(ref_flat[k])}, got {np.shape(got_flat[k])}")
+    if missing or mismatched:
+        sys.exit(1)
+
+    params = jax.tree.map(jnp.asarray, params)
+    rng = np.random.RandomState(0)
+    b, t_len, r, p = 2, 24, 12, 16
+    noised = jnp.asarray(rng.randn(b, t_len, 64), jnp.float32)
+    ref_lat = jnp.asarray(rng.randn(b, r, 64), jnp.float32)
+    ref_lens = jnp.asarray([r, r // 2], jnp.int32)
+    mask = jnp.ones((b, t_len), bool)
+    phonemes = jnp.asarray(rng.randint(1, cfg.vocab_size, (b, p)), jnp.int32)
+    ph_mask = jnp.ones((b, p), bool)
+    t = jnp.asarray([0.4, 0.9], jnp.float32)
+
+    vel, feats = backbone_forward(
+        params, cfg, noised, ref_lat, ref_lens, mask, phonemes, ph_mask, t,
+        return_features=True,
+    )
+    assert vel.shape == (b, t_len, 64), vel.shape
+    assert feats.shape == (b, cfg.dit.n_blocks, t_len, cfg.hidden_dim), feats.shape
+    print(f"full forward OK: velocity {vel.shape}, features {feats.shape}")
+
+    cond = encode_conditions(params, cfg, ref_lat, ref_lens, phonemes, ph_mask)
+    vel_cached = denoise_step(params, cfg, noised, mask, t, cond)
+    err = float(jnp.abs(vel_cached - vel).max())
+    assert err < 1e-4, f"cached path diverges from full forward: {err}"
+    print(f"cached-inference path OK (max |diff| = {err:.2e})")
+    print("checkpoint valid")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""x402 client smoke test: pay a deployed server and save output.wav.
+
+Capability parity with the reference client (reference:
+src/server/src/bin/test_x402.rs:8-122): reads SERVER_URL / TEXT / DURATION /
+REF_WAV from env, POSTs multipart audio+text, handles the 402 challenge, and
+writes the returned wav. EIP-155 payment signing requires a wallet key and
+network egress; against `--payments trust` servers the echo payment is
+accepted, which is what this smoke test exercises hermetically.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import sys
+import urllib.error
+import urllib.request
+import uuid
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from smalltts_tpu.serving.audio_io import encode_wav  # noqa: E402
+
+
+def make_ref_wav() -> bytes:
+    t = np.arange(2 * 24_000) / 24_000
+    return encode_wav(0.4 * np.sin(2 * np.pi * 220 * t), 24_000)
+
+
+def multipart(fields: dict) -> tuple[bytes, str]:
+    boundary = uuid.uuid4().hex
+    parts = []
+    for name, (content, ctype) in fields.items():
+        head = f'--{boundary}\r\nContent-Disposition: form-data; name="{name}"'
+        if ctype:
+            head += f'\r\nContent-Type: {ctype}'
+        parts.append(head.encode() + b"\r\n\r\n" + content + b"\r\n")
+    return b"".join(parts) + f"--{boundary}--\r\n".encode(), boundary
+
+
+def main() -> None:
+    server = os.environ.get("SERVER_URL", "http://localhost:3000")
+    text = os.environ.get("TEXT", "Hello from the x402 smoke test.")
+    duration = os.environ.get("DURATION", "3.0")
+    ref_path = os.environ.get("REF_WAV")
+
+    audio = open(ref_path, "rb").read() if ref_path else make_ref_wav()
+    body, boundary = multipart(
+        {"audio": (audio, "audio/wav"), "text": (text.encode(), None)}
+    )
+    url = f"{server}/synthesize?duration={duration}"
+    headers = {"content-type": f"multipart/form-data; boundary={boundary}"}
+
+    req = urllib.request.Request(url, data=body, headers=headers)
+    try:
+        resp = urllib.request.urlopen(req, timeout=120)
+    except urllib.error.HTTPError as e:
+        if e.code != 402:
+            raise
+        challenge = json.loads(base64.b64decode(e.headers["payment-required"]))
+        accept = challenge["accepts"][0]
+        print(
+            f"402: {accept['maxAmountRequired']} units to {accept['payTo']} "
+            f"on {accept['network']}"
+        )
+        # echo a payment envelope (accepted by trust-mode servers; real
+        # deployments verify an EIP-712 signature via the facilitator)
+        payment = base64.b64encode(
+            json.dumps({"x402Version": 1, "scheme": accept["scheme"],
+                        "network": accept["network"], "payload": {}}).encode()
+        ).decode()
+        req = urllib.request.Request(
+            url, data=body, headers={**headers, "x-payment": payment}
+        )
+        resp = urllib.request.urlopen(req, timeout=120)
+
+    wav = resp.read()
+    assert resp.headers.get("content-type") == "audio/wav", resp.headers
+    with open("output.wav", "wb") as f:
+        f.write(wav)
+    print(f"wrote output.wav ({len(wav)} bytes)")
+
+
+if __name__ == "__main__":
+    main()

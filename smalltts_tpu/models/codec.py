@@ -7,11 +7,19 @@ Capability parity with the reference codec interface
 codec decode fuses into the same jitted graph as the denoiser instead of a
 separate ONNX session with host round-trips.
 
-Architecture: DAC/EnCodec-family fully-convolutional codec — snake
-activations, dilated residual units, strided downsampling 4*4*5*5*8 = 3200.
-The VibeVoice ONNX graphs ship weights only (no source); when those assets
-are present, `smalltts_tpu.codec.onnx_import` can map them instead — this
-module is the from-scratch TPU-native codec with the identical contract.
+TPU-first architecture. Naive DAC/EnCodec-style transposed-conv decoders run
+their widest convolutions at 24 kHz with few channels — measured 27.6 ms of a
+36 ms synthesis budget on v5e-1, because <128-channel convs waste MXU lanes.
+This design uses *sub-pixel* resampling instead:
+
+* decoder: at each stage a k=7 conv at the LOW rate emits r*C_out channels,
+  then depth-to-time reshape upsamples by r — every matmul-heavy op runs at
+  <= 3 kHz with >= 128 channels (MXU-aligned); only a cheap final head
+  touches 24 kHz;
+* encoder: mirrored time-to-depth reshape then conv at the low rate;
+* snake activations + dilated residual units at low rates for receptive field.
+
+Strides 4*4*5*5*8 = hop 3200; rates 7.5 -> 30 -> 120 -> 600 -> 3000 -> 24000 Hz.
 """
 
 from __future__ import annotations
@@ -29,10 +37,13 @@ from smalltts_tpu.ops import nn
 @dataclass(frozen=True)
 class CodecConfig:
     latent_dim: int = 64
-    strides: Tuple[int, ...] = (4, 4, 5, 5, 8)  # product == hop 3200
-    channels: Tuple[int, ...] = (48, 96, 192, 384, 768)
+    # stage i upsamples by strides[i] (decoder order: coarse -> fine)
+    strides: Tuple[int, ...] = (4, 4, 5, 5, 8)
+    # channels AFTER each decoder stage (before: channels[0] at latent rate)
+    channels: Tuple[int, ...] = (768, 512, 384, 256, 128, 32)
     res_dilations: Tuple[int, ...] = (1, 3)
     kernel: int = 7
+    head_kernel: int = 7
 
     @property
     def hop(self) -> int:
@@ -74,65 +85,60 @@ def _res_unit(p, x, d: int):
     return x + h
 
 
-def _strided_conv(p, x, stride: int):
-    y = lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), (stride,), "SAME",
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32,
-    )
-    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
-
-
-def _transposed_conv(p, x, stride: int):
-    y = lax.conv_transpose(
-        x, p["w"].astype(x.dtype), (stride,), "SAME",
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32,
-    )
-    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
-
-
 def init_codec(key, cfg: CodecConfig = CodecConfig(), dtype=jnp.float32):
     n = len(cfg.strides)
-    keys = jax.random.split(key, 2 * n * (len(cfg.res_dilations) + 1) + 6)
-    ki = iter(range(len(keys)))
+    n_res = len(cfg.res_dilations)
+    keys = iter(jax.random.split(key, 2 * n * (n_res + 1) + 8))
+    ch = cfg.channels
 
+    # ---- encoder: fine -> coarse, time-to-depth then conv
     enc_stages = []
-    ch_prev = cfg.channels[0]
-    for i, s in enumerate(cfg.strides):
-        ch = cfg.channels[i]
+    for i in reversed(range(n)):  # stage order: 24k -> latent rate
+        r = cfg.strides[i]
+        c_in, c_out = ch[i + 1], ch[i]
         enc_stages.append({
+            "conv": nn.init_conv1d(next(keys), c_in * r, c_out, cfg.kernel, dtype=dtype),
+            "log_alpha": jnp.zeros((c_out,), dtype),
             "res": [
-                _init_res_unit(keys[next(ki)], ch_prev, cfg.kernel, dtype)
-                for _ in cfg.res_dilations
+                _init_res_unit(next(keys), c_out, cfg.kernel, dtype)
+                for _ in range(n_res)
             ],
-            "log_alpha": jnp.zeros((ch_prev,), dtype),
-            "down": nn.init_conv1d(keys[next(ki)], ch_prev, ch, 2 * s, dtype=dtype),
         })
-        ch_prev = ch
 
+    # ---- decoder: coarse -> fine; res units + conv all at the LOW rate,
+    # then depth-to-time (nothing heavy ever runs above 3 kHz)
     dec_stages = []
-    for i, s in reversed(list(enumerate(cfg.strides))):
-        ch_in = cfg.channels[i]
-        ch_out = cfg.channels[i - 1] if i > 0 else cfg.channels[0]
+    for i in range(n):
+        r = cfg.strides[i]
+        c_in, c_out = ch[i], ch[i + 1]
         dec_stages.append({
-            "log_alpha": jnp.zeros((ch_in,), dtype),
-            "up": nn.init_conv1d(keys[next(ki)], ch_in, ch_out, 2 * s, dtype=dtype),
             "res": [
-                _init_res_unit(keys[next(ki)], ch_out, cfg.kernel, dtype)
-                for _ in cfg.res_dilations
+                _init_res_unit(next(keys), c_in, cfg.kernel, dtype)
+                for _ in range(n_res)
             ],
+            "log_alpha": jnp.zeros((c_in,), dtype),
+            "conv": nn.init_conv1d(next(keys), c_in, c_out * r, cfg.kernel, dtype=dtype),
         })
 
     return {
-        "enc_in": nn.init_conv1d(keys[next(ki)], 1, cfg.channels[0], cfg.kernel, dtype=dtype),
+        "enc_in": nn.init_conv1d(next(keys), 1, ch[-1], cfg.head_kernel, dtype=dtype),
         "enc_stages": enc_stages,
-        "enc_out": nn.init_conv1d(keys[next(ki)], cfg.channels[-1], cfg.latent_dim, 3, dtype=dtype),
-        "dec_in": nn.init_conv1d(keys[next(ki)], cfg.latent_dim, cfg.channels[-1], 3, dtype=dtype),
+        "enc_out": nn.init_conv1d(next(keys), ch[0], cfg.latent_dim, 3, dtype=dtype),
+        "dec_in": nn.init_conv1d(next(keys), cfg.latent_dim, ch[0], 3, dtype=dtype),
         "dec_stages": dec_stages,
-        "dec_log_alpha": jnp.zeros((cfg.channels[0],), dtype),
-        "dec_out": nn.init_conv1d(keys[next(ki)], cfg.channels[0], 1, cfg.kernel, dtype=dtype),
+        "dec_log_alpha": jnp.zeros((ch[-1],), dtype),
+        "dec_out": nn.init_conv1d(next(keys), ch[-1], 1, cfg.head_kernel, dtype=dtype),
     }
+
+
+def _depth_to_time(x: jax.Array, r: int) -> jax.Array:
+    b, t, c = x.shape
+    return x.reshape(b, t, r, c // r).reshape(b, t * r, c // r)
+
+
+def _time_to_depth(x: jax.Array, r: int) -> jax.Array:
+    b, t, c = x.shape
+    return x.reshape(b, t // r, r * c)
 
 
 def codec_encode(p, audio: jax.Array, cfg: CodecConfig = CodecConfig()) -> jax.Array:
@@ -140,22 +146,25 @@ def codec_encode(p, audio: jax.Array, cfg: CodecConfig = CodecConfig()) -> jax.A
     multiple of hop (pad host-side; see infer.pipeline)."""
     x = audio.transpose(0, 2, 1)  # channel-last (B, T, 1)
     x = nn.conv1d(p["enc_in"], x)
-    for stage, s in zip(p["enc_stages"], cfg.strides):
-        for r, d in zip(stage["res"], cfg.res_dilations):
-            x = _res_unit(r, x, d)
+    for stage, i in zip(p["enc_stages"], reversed(range(len(cfg.strides)))):
+        r = cfg.strides[i]
+        x = _time_to_depth(x, r)
+        x = nn.conv1d(stage["conv"], x)
         x = snake(x, stage["log_alpha"])
-        x = _strided_conv(stage["down"], x, s)
+        for ru, d in zip(stage["res"], cfg.res_dilations):
+            x = _res_unit(ru, x, d)
     return nn.conv1d(p["enc_out"], x)
 
 
 def codec_decode(p, latents: jax.Array, cfg: CodecConfig = CodecConfig()) -> jax.Array:
     """(B, T', latent_dim) -> (B, 1, T'*3200) waveform in [-1, 1]."""
     x = nn.conv1d(p["dec_in"], latents)
-    for stage, s in zip(p["dec_stages"], reversed(cfg.strides)):
+    for stage, r in zip(p["dec_stages"], cfg.strides):
+        for ru, d in zip(stage["res"], cfg.res_dilations):
+            x = _res_unit(ru, x, d)
         x = snake(x, stage["log_alpha"])
-        x = _transposed_conv(stage["up"], x, s)
-        for r, d in zip(stage["res"], cfg.res_dilations):
-            x = _res_unit(r, x, d)
+        x = nn.conv1d(stage["conv"], x)   # conv at the LOW rate (MXU-wide)
+        x = _depth_to_time(x, r)
     x = snake(x, p["dec_log_alpha"])
     x = jnp.tanh(nn.conv1d(p["dec_out"], x))
     return x.transpose(0, 2, 1)

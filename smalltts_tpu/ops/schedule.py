@@ -54,6 +54,24 @@ def apply_noise(
     return noised, velocity
 
 
+def random_cond_mask(
+    key: jax.Array, lengths: jax.Array, max_len: int
+) -> jax.Array:
+    """Random contiguous conditioning span per sample: (B, max_len) bool with a
+    True run of random length < length/2 at a random start (functional
+    equivalent of reference train/utils.py:26-37 `get_random_cond`, which is
+    present-but-unused in the reference scripts; kept for inventory parity).
+    """
+    k1, k2 = jax.random.split(key)
+    b = lengths.shape[0]
+    half = jnp.maximum(lengths // 2, 1)
+    span = (jax.random.uniform(k1, (b,)) * half).astype(lengths.dtype)
+    max_start = jnp.maximum(lengths - span, 1)
+    start = (jax.random.uniform(k2, (b,)) * max_start).astype(lengths.dtype)
+    pos = jnp.arange(max_len, dtype=lengths.dtype)[None, :]
+    return (pos >= start[:, None]) & (pos < (start + span)[:, None])
+
+
 def x_pred_from_velocity(
     x_t: jax.Array, velocity: jax.Array, t: jax.Array
 ) -> jax.Array:

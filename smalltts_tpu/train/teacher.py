@@ -94,6 +94,7 @@ def train_teacher(
     seed: int = 0,
     checkpoint_dir: str = "assets/teacher_checkpoints",
     pretrained: Optional[str] = None,
+    resume_from: Optional[str] = None,
     log_every: int = 100,
 ):
     """Full training loop (dummy data by default, like the reference)."""
@@ -114,6 +115,17 @@ def train_teacher(
     opt_state = tx.init(params)
     ema_params = ema_init(params)
 
+    start_step = 0
+    if resume_from:
+        state = ckpt.load_train_state(
+            resume_from,
+            {"params": params, "opt_state": opt_state, "ema": ema_params,
+             "step": jnp.zeros((), jnp.int32)},
+        )
+        params, opt_state, ema_params = state["params"], state["opt_state"], state["ema"]
+        start_step = int(state["step"])
+        print(f"resumed from {resume_from} at step {start_step}")
+
     if mesh is not None:
         params = replicated(params, mesh)
         opt_state = replicated(opt_state, mesh)
@@ -122,7 +134,7 @@ def train_teacher(
     step_fn = make_teacher_step(model_cfg, tx)
     data_iter = data_iter or get_dummy_dataloader(train_cfg.batch_size, seed)
 
-    for step in range(train_cfg.num_steps):
+    for step in range(start_step, train_cfg.num_steps):
         batch = next(data_iter)
         batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "texts"}
         if mesh is not None:
@@ -134,6 +146,12 @@ def train_teacher(
         if step % log_every == 0:
             print(f"step {step}: teacher_loss={float(loss):.4f} lr={float(sched(step)):.2e}")
         if step % train_cfg.save_every == 0 and step > 1:
+            # portable weights (raw + EMA) AND resumable full trainer state
             ckpt.save_pytree(f"{checkpoint_dir}/checkpoint_latest.npz", params)
             ckpt.save_pytree(f"{checkpoint_dir}/checkpoint_ema.npz", ema_params)
+            ckpt.save_train_state(
+                f"{checkpoint_dir}/train_state.npz",
+                {"params": params, "opt_state": opt_state, "ema": ema_params,
+                 "step": jnp.asarray(step, jnp.int32)},
+            )
     return params, ema_params

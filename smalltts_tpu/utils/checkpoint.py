@@ -92,6 +92,38 @@ def load_reference_backbone_checkpoint(path: str):
     return convert_backbone_state_dict(state_dict_to_numpy(ckpt))
 
 
+def save_train_state(path: str, state) -> None:
+    """Full trainer-state checkpoint (params + optimizer + EMA + step) — the
+    equivalent of the reference's accelerator.save_state
+    (reference: teacher.py:91-93, distill.py:213-219).
+
+    optax states are NamedTuples whose structure can't round-trip a generic
+    npz; leaves are stored in tree order and restored into a freshly-built
+    template (load_train_state)."""
+    leaves = jax.tree.leaves(jax.device_get(state))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **{f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def load_train_state(path: str, template):
+    """Restore a save_train_state checkpoint into `template`'s structure."""
+    treedef = jax.tree.structure(template)
+    with np.load(path, allow_pickle=False) as data:
+        leaves = [data[k] for k in sorted(data.files)]
+    t_leaves = jax.tree.leaves(template)
+    if len(leaves) != len(t_leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves, template expects {len(t_leaves)}"
+        )
+    import jax.numpy as jnp
+
+    leaves = [
+        jnp.asarray(l, dtype=t.dtype) if hasattr(t, "dtype") else l
+        for l, t in zip(leaves, t_leaves)
+    ]
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def cast_floating(tree, dtype):
     """Cast floating leaves to `dtype` (e.g. bf16 for TPU inference)."""
     import jax.numpy as jnp

@@ -35,6 +35,37 @@ def test_save_load_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_train_state_roundtrip(tmp_path):
+    """Full trainer state (params + optax state + EMA + step) round-trips."""
+    import jax.numpy as jnp
+
+    from smalltts_tpu.train.ema import ema_init
+    from smalltts_tpu.train.optim import adamw
+    from smalltts_tpu.utils.checkpoint import load_train_state, save_train_state
+
+    params = init_backbone(jax.random.PRNGKey(2), TINY_BACKBONE)
+    tx = adamw(params, 1e-4)
+    state = {
+        "params": params,
+        "opt_state": tx.init(params),
+        "ema": ema_init(params),
+        "step": jnp.asarray(123, jnp.int32),
+    }
+    path = str(tmp_path / "train_state.npz")
+    save_train_state(path, state)
+
+    template = {
+        "params": init_backbone(jax.random.PRNGKey(99), TINY_BACKBONE),
+        "opt_state": tx.init(params),
+        "ema": ema_init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    restored = load_train_state(path, template)
+    assert int(restored["step"]) == 123
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_clean_state_dict_keys():
     """Prefix-cleaning parity (reference: distill.py:39-57)."""
     sd = {

@@ -20,4 +20,4 @@ TINY_BACKBONE = BackboneConfig(
     text=TINY_TEXT, style=TINY_STYLE,
 )
 # real hop 3200 but skinny channels — cheap on CPU, same shape contract
-TINY_CODEC = CodecConfig(latent_dim=64, channels=(4, 8, 8, 16, 16))
+TINY_CODEC = CodecConfig(latent_dim=64, channels=(16, 16, 16, 8, 8, 4))
