@@ -1,0 +1,26 @@
+"""ASR (CTC) training CLI (reference: src/scripts/train/dmd2/asr.py)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200_000)
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--checkpoint-dir", default="assets/asr_checkpoints")
+    args = ap.parse_args()
+
+    from smalltts_tpu.train.asr_train import ASRTrainConfig, train_asr
+
+    train_asr(
+        ASRTrainConfig(num_steps=args.steps, batch_size=args.batch_size),
+        checkpoint_dir=args.checkpoint_dir,
+    )
+
+
+if __name__ == "__main__":
+    main()

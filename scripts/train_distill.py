@@ -1,0 +1,32 @@
+"""DMD2 distillation CLI (reference: accelerate launch src/scripts/train/dmd2/distill.py)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=40_000)
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--teacher", default="assets/teacher_checkpoints/checkpoint_ema.npz")
+    ap.add_argument("--asr", default="assets/asr_checkpoints/checkpoint_latest.npz")
+    ap.add_argument("--sv", default="assets/sv_checkpoints/checkpoint_latest.npz")
+    ap.add_argument("--checkpoint-dir", default="assets/dmd_checkpoints")
+    args = ap.parse_args()
+
+    from smalltts_tpu.train.distill import DistillConfig, train_distill
+
+    train_distill(
+        DistillConfig(num_steps=args.steps, batch_size=args.batch_size),
+        teacher_checkpoint=args.teacher,
+        asr_checkpoint=args.asr,
+        sv_checkpoint=args.sv,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""Teacher training CLI (reference: `accelerate launch src/scripts/train/teacher.py`
+-> here plain python; DP over all local devices via --dp)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=330_000)
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--pretrained", default=None)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--dp", type=int, default=0, help="data-parallel ways (0 = single device)")
+    ap.add_argument("--checkpoint-dir", default="assets/teacher_checkpoints")
+    args = ap.parse_args()
+
+    from smalltts_tpu.train.teacher import TeacherTrainConfig, train_teacher
+
+    mesh = None
+    if args.dp > 1:
+        from smalltts_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp, tp=1)
+
+    train_teacher(
+        TeacherTrainConfig(num_steps=args.steps, batch_size=args.batch_size),
+        mesh=mesh,
+        pretrained=args.pretrained,
+        resume_from=args.resume,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+
+
+if __name__ == "__main__":
+    main()

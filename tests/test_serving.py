@@ -159,6 +159,40 @@ def test_end_to_end_synthesize_through_batcher():
     server._batcher.close()
 
 
+def test_socket_transport_health_and_402():
+    """Real asyncio socket round-trip: HTTP parsing, 402 header, keep-alive."""
+    import urllib.error
+    import urllib.request
+
+    async def scenario():
+        server = TTSServer(tts=object(), x402_cfg=X402Config(mode="trust"))
+        srv = await asyncio.start_server(server._serve_conn, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+
+        def requests():
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+                assert r.status == 200 and r.read() == b"ok"
+            try:
+                urllib.request.urlopen(
+                    urllib.request.Request(
+                        f"http://127.0.0.1:{port}/synthesize?duration=3",
+                        data=b"", method="POST",
+                    )
+                )
+                raise AssertionError("expected 402")
+            except urllib.error.HTTPError as e:
+                assert e.code == 402
+                assert e.headers["payment-required"]
+                assert e.read() == b""
+
+        loop = asyncio.get_running_loop()
+        await loop.run_in_executor(None, requests)
+        srv.close()
+        await srv.wait_closed()
+
+    run(scenario())
+
+
 def test_batcher_groups_by_bucket():
     from smalltts_tpu.serving.batcher import Request, group_requests, pad_group
 
