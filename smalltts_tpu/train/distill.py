@@ -324,6 +324,8 @@ def train_distill(
     `params_override` (dict with teacher/asr/sv/student/scorer/disc) bypasses
     checkpoint loading — used by tests and smoke runs.
     """
+    from dataclasses import replace
+
     from smalltts_tpu.models.asr import init_asr
     from smalltts_tpu.models.backbone import init_backbone
     from smalltts_tpu.models.discriminator import init_discriminator
@@ -332,7 +334,12 @@ def train_distill(
     from smalltts_tpu.train.optim import distill_optimizer
     from smalltts_tpu.utils import checkpoint as ckpt
 
-    model_cfg = model_cfg or BackboneConfig()
+    if model_cfg is None:
+        # rematerialize DiT blocks in the backward pass — the student step
+        # traces 3 backbones in one graph (reference enables grad
+        # checkpointing on the student too, distill.py:142)
+        base = BackboneConfig()
+        model_cfg = replace(base, dit=replace(base.dit, remat=True))
     disc_cfg = disc_cfg or DiscriminatorConfig(
         transformer_dim=model_cfg.hidden_dim, ref_dim=model_cfg.hidden_dim
     )
