@@ -175,6 +175,28 @@ class SmallTTS:
             return jax.block_until_ready(audio)
         return np.asarray(jax.device_get(audio))
 
+    def warmup(
+        self,
+        batch_sizes: Sequence[int] = (1, 8),
+        t_buckets: Sequence[int] = (16, 40, 80),
+        r_bucket: int = REF_BUCKETS[0],
+        p_bucket: int = PHONEME_BUCKETS[0],
+    ) -> None:
+        """Precompile the serving graphs for the given bucket grid so the
+        first real request never hits an XLA compile (production servers call
+        this at startup; each (batch, t_bucket) pair is one executable)."""
+        for bs in batch_sizes:
+            for tb in t_buckets:
+                self.synthesize_padded(
+                    np.zeros((bs, r_bucket, self.cfg.latent_dim), np.float32),
+                    np.full((bs,), r_bucket, np.int32),
+                    np.zeros((bs, p_bucket), np.int32),
+                    np.full((bs,), 1, np.int32),
+                    np.full((bs,), min(tb, 1), np.int32),
+                    tb,
+                    fetch=False,
+                )
+
     def _bucketize(self, ref_latents, phoneme_ids, duration_sec):
         seq_len = frames_for_duration(duration_sec)
         t_bucket = pick_bucket(seq_len, LATENT_BUCKETS)

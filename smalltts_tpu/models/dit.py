@@ -83,17 +83,17 @@ def _init_block(key, cfg: DiTConfig, dtype):
             "linear": nn.init_zeros_linear(inner, inner * 6, dtype=dtype),
         },
         "attn": {
-            "to_q": nn.init_linear(ks[0], inner, inner, dtype=dtype),
-            "to_k_self": nn.init_linear(ks[1], inner, inner, dtype=dtype),
-            "to_v_self": nn.init_linear(ks[2], inner, inner, dtype=dtype),
+            # q/k_self/v_self fused into ONE (inner, 3*inner) matmul and each
+            # cross K/V pair into (inner, 2*inner) — fewer, wider MXU calls
+            # than the reference's 9 separate projections (dit.py:63-77);
+            # the torch converter concatenates the reference weights to match.
+            "qkv_self": nn.init_linear(ks[0], inner, inner * 3, dtype=dtype),
             "gate": nn.init_linear(ks[3], inner, inner, bias=False, dtype=dtype),
             "to_out": nn.init_linear(ks[4], inner, inner, bias=False, dtype=dtype),
             "q_norm": nn.init_rmsnorm((h, hd), dtype),
             "k_norm": nn.init_rmsnorm((h, hd), dtype),
-            "to_k_ref": nn.init_linear(ks[5], inner, inner, dtype=dtype),
-            "to_v_ref": nn.init_linear(ks[6], inner, inner, dtype=dtype),
-            "to_k_text": nn.init_linear(ks[7], inner, inner, dtype=dtype),
-            "to_v_text": nn.init_linear(ks[8], inner, inner, dtype=dtype),
+            "kv_ref": nn.init_linear(ks[5], inner, inner * 2, dtype=dtype),
+            "kv_text": nn.init_linear(ks[7], inner, inner * 2, dtype=dtype),
             "k_norm_cross": nn.init_rmsnorm((h, hd), dtype),
         },
         "ff": {
@@ -163,21 +163,25 @@ def _adaln_final(p, x, emb, eps=1e-6):
 
 
 def _project_cross(p_attn, cfg: DiTConfig, seq, which: str):
-    """Per-block cross K/V projection: K is RMS-normed per head (dit.py:80-86)."""
+    """Per-block cross K/V projection: K is RMS-normed per head (dit.py:80-86).
+    One fused (inner, 2*inner) matmul per source."""
     b, t, _ = seq.shape
     h, d = cfg.heads, cfg.head_dim
-    k = nn.linear(p_attn[f"to_k_{which}"], seq).reshape(b, t, h, d)
-    k = nn.rmsnorm(p_attn["k_norm_cross"], k, 1e-6)
-    v = nn.linear(p_attn[f"to_v_{which}"], seq).reshape(b, t, h, d)
+    kv = nn.linear(p_attn[f"kv_{which}"], seq)
+    k, v = jnp.split(kv, 2, axis=-1)
+    k = nn.rmsnorm(p_attn["k_norm_cross"], k.reshape(b, t, h, d), 1e-6)
+    v = v.reshape(b, t, h, d)
     return k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
 
 
 def _self_qkv(p_attn, cfg: DiTConfig, x, rope_freqs):
     b, t, _ = x.shape
     h, d = cfg.heads, cfg.head_dim
-    q = nn.rmsnorm(p_attn["q_norm"], nn.linear(p_attn["to_q"], x).reshape(b, t, h, d), 1e-6)
-    k = nn.rmsnorm(p_attn["k_norm"], nn.linear(p_attn["to_k_self"], x).reshape(b, t, h, d), 1e-6)
-    v = nn.linear(p_attn["to_v_self"], x).reshape(b, t, h, d).transpose(0, 2, 1, 3)
+    qkv = nn.linear(p_attn["qkv_self"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = nn.rmsnorm(p_attn["q_norm"], q.reshape(b, t, h, d), 1e-6)
+    k = nn.rmsnorm(p_attn["k_norm"], k.reshape(b, t, h, d), 1e-6)
+    v = v.reshape(b, t, h, d).transpose(0, 2, 1, 3)
     q = apply_rope_interleaved(q.transpose(0, 2, 1, 3), rope_freqs)
     k = apply_rope_interleaved(k.transpose(0, 2, 1, 3), rope_freqs)
     return q, k, v

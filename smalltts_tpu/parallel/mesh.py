@@ -54,13 +54,9 @@ _TP_RULES = [
     ("attn/wo/w", "in"),
     ("mlp/w2/w", "in"),
     ("ff/w2/w", "in"),
-    ("attn/to_q", "out"),
-    ("attn/to_k_self", "out"),
-    ("attn/to_v_self", "out"),
-    ("attn/to_k_ref", "out"),
-    ("attn/to_v_ref", "out"),
-    ("attn/to_k_text", "out"),
-    ("attn/to_v_text", "out"),
+    ("attn/qkv_self", "out"),
+    ("attn/kv_ref", "out"),
+    ("attn/kv_text", "out"),
     ("attn/gate", "out"),
     ("attn/wq", "out"),
     ("attn/wk", "out"),

@@ -78,8 +78,19 @@ def make_teacher_step(cfg: BackboneConfig, tx):
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, opt_state, ema_params, batch, key):
         loss, grads = jax.value_and_grad(teacher_loss)(params, cfg, batch, key)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        # failure containment: skip the update on non-finite loss/grads (a bad
+        # batch must not poison 330k steps; the reference has no such guard)
+        finite = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
+        grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        params = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_params, params
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old) if hasattr(new, "shape") else new,
+            new_opt_state, opt_state,
+        )
         ema_params = ema_update(ema_params, params, TeacherTrainConfig.ema_beta)
         return params, opt_state, ema_params, loss
 

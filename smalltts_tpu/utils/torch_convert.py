@@ -90,21 +90,29 @@ def _encoder_block(sd, pre):
     }
 
 
+def _cat_lins(sd, keys):
+    """Concatenate reference per-projection Linears into one fused weight:
+    our DiT packs q/k_self/v_self (and each cross k/v pair) into single wide
+    matmuls (models/dit.py), so torch weights concatenate on the out dim."""
+    ws = [np.ascontiguousarray(sd[f"{k}.weight"].T) for k in keys]
+    bs = [sd[f"{k}.bias"] for k in keys]
+    return {"w": np.concatenate(ws, axis=1), "b": np.concatenate(bs, axis=0)}
+
+
 def _dit_block(sd, pre):
     return {
         "attn_norm": {"linear": _lin(sd, f"{pre}.attn_norm.linear")},
         "attn": {
-            "to_q": _lin(sd, f"{pre}.attn.to_q"),
-            "to_k_self": _lin(sd, f"{pre}.attn.to_k_self"),
-            "to_v_self": _lin(sd, f"{pre}.attn.to_v_self"),
+            "qkv_self": _cat_lins(
+                sd,
+                [f"{pre}.attn.to_q", f"{pre}.attn.to_k_self", f"{pre}.attn.to_v_self"],
+            ),
             "gate": _lin(sd, f"{pre}.attn.gate", bias=False),
             "to_out": _lin(sd, f"{pre}.attn.to_out.0", bias=False),
             "q_norm": _norm(sd, f"{pre}.attn.q_norm"),
             "k_norm": _norm(sd, f"{pre}.attn.k_norm"),
-            "to_k_ref": _lin(sd, f"{pre}.attn.to_k_ref"),
-            "to_v_ref": _lin(sd, f"{pre}.attn.to_v_ref"),
-            "to_k_text": _lin(sd, f"{pre}.attn.to_k_text"),
-            "to_v_text": _lin(sd, f"{pre}.attn.to_v_text"),
+            "kv_ref": _cat_lins(sd, [f"{pre}.attn.to_k_ref", f"{pre}.attn.to_v_ref"]),
+            "kv_text": _cat_lins(sd, [f"{pre}.attn.to_k_text", f"{pre}.attn.to_v_text"]),
             "k_norm_cross": _norm(sd, f"{pre}.attn.k_norm_cross"),
         },
         "ff": {

@@ -57,6 +57,27 @@ def test_teacher_step_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+def test_teacher_step_nan_guard():
+    """A poisoned batch (NaN latents) must not corrupt params."""
+    params = init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE)
+    tx, _ = teacher_optimizer(params, num_steps=100, warmup=1)
+    opt_state = tx.init(params)
+    ema = ema_init(params)
+    step = make_teacher_step(TINY_BACKBONE, tx)
+
+    batch = _tiny_batch()
+    bad = dict(batch)
+    bad["latents"] = batch["latents"].at[0, 0, 0].set(jnp.nan)
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+    params, opt_state, ema, loss = step(params, opt_state, ema, bad, jax.random.PRNGKey(1))
+    assert not np.isfinite(float(loss))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(before)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    # and a clean step afterwards still works
+    params, opt_state, ema, loss = step(params, opt_state, ema, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+
+
 def test_teacher_step_on_dp_tp_mesh():
     """Same step on a 2x4 dp/tp mesh: shardings compile, execute, and agree
     with the single-device result."""
