@@ -77,10 +77,12 @@ class SmallTTS:
         dtype=None,
         num_steps: int = NUM_STEPS,
         seed: int = 0,
+        mesh=None,
     ) -> None:
         self.cfg = cfg or BackboneConfig()
         self.codec_cfg = codec_cfg or CodecConfig()
         self.num_steps = num_steps
+        self.mesh = mesh  # optional jax.sharding.Mesh: batch shards over "dp"
         if dtype is None:
             dtype = (
                 jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
@@ -108,10 +110,18 @@ class SmallTTS:
                     lambda k: init_codec(k, self.codec_cfg)
                 )(jax.random.PRNGKey(seed + 1))
 
-        self.params = jax.device_put(ckpt.cast_floating(backbone_params, dtype))
-        self.codec_params = jax.device_put(
-            ckpt.cast_floating(codec_params, jnp.float32)
-        )
+        if mesh is not None:
+            from smalltts_tpu.parallel.mesh import shard_params
+
+            self.params = shard_params(ckpt.cast_floating(backbone_params, dtype), mesh)
+            self.codec_params = shard_params(
+                ckpt.cast_floating(codec_params, jnp.float32), mesh
+            )
+        else:
+            self.params = jax.device_put(ckpt.cast_floating(backbone_params, dtype))
+            self.codec_params = jax.device_put(
+                ckpt.cast_floating(codec_params, jnp.float32)
+            )
         self._synthesize_fn = make_synthesize_fn(self.cfg, self.codec_cfg, num_steps)
         self._key = jax.random.PRNGKey(seed + 2)
 
@@ -160,14 +170,25 @@ class SmallTTS:
         """Batched bucket-padded synthesis -> (B, 1, t_bucket*HOP) waveform.
         This is the server batcher's entry point. `fetch=False` leaves the
         result on device (benchmarks; slow-transfer links)."""
-        audio = self._synthesize_fn(
-            self.params,
-            self.codec_params,
+        inputs = (
             jnp.asarray(ref_latents, self.dtype),
             jnp.asarray(ref_lengths, jnp.int32),
             jnp.asarray(phonemes, jnp.int32),
             jnp.asarray(phoneme_lengths, jnp.int32),
             jnp.asarray(seq_lengths, jnp.int32),
+        )
+        if self.mesh is not None:
+            from smalltts_tpu.parallel.mesh import data_sharding
+
+            dp = self.mesh.shape["dp"]
+            if inputs[0].shape[0] % dp == 0:
+                inputs = tuple(
+                    jax.device_put(x, data_sharding(self.mesh, x.ndim)) for x in inputs
+                )
+        audio = self._synthesize_fn(
+            self.params,
+            self.codec_params,
+            *inputs,
             key if key is not None else self._next_key(),
             t_bucket=t_bucket,
         )

@@ -1,0 +1,89 @@
+"""Teacher (many-step, double-CFG) sampler.
+
+The reference ships no standalone teacher inference path — its CFG sampling
+logic exists only inside distillation (reference:
+src/scripts/train/dmd2/distill.py:60-134: text scale 2.0, speaker scale 1.5
+via 3x batch replication). This sampler exposes it: validate a flow-matching
+teacher checkpoint end-to-end (e.g. 32..128 steps) before distilling, or
+generate higher-fidelity references. Same re-noising recurrence as the DMD
+student loop but with CFG-combined velocity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from smalltts_tpu.models.backbone import BackboneConfig, backbone_forward, encode_conditions
+from smalltts_tpu.ops.masking import length_mask
+from smalltts_tpu.ops.schedule import get_alpha_sigma
+
+
+def cfg_velocity(
+    params,
+    cfg: BackboneConfig,
+    x_t,
+    ref,
+    ref_len,
+    mask,
+    ph,
+    ph_mask,
+    t,
+    cfg_scale_text: float = 2.0,
+    cfg_scale_speaker: float = 1.5,
+):
+    """Double classifier-free guidance via 3x batch replication:
+    v = v_c + s_text*(v_c - v_no_text) + s_spk*(v_c - v_no_spk)."""
+    x3 = jnp.concatenate([x_t] * 3, axis=0)
+    ref3 = jnp.concatenate([ref, ref, jnp.zeros_like(ref)], axis=0)
+    ref_len3 = jnp.concatenate([ref_len, ref_len, jnp.zeros_like(ref_len)], axis=0)
+    mask3 = jnp.concatenate([mask] * 3, axis=0)
+    ph3 = jnp.concatenate([ph, jnp.zeros_like(ph), ph], axis=0)
+    ph_mask3 = jnp.concatenate([ph_mask, jnp.zeros_like(ph_mask), ph_mask], axis=0)
+    t3 = jnp.concatenate([t] * 3, axis=0)
+    v3 = backbone_forward(params, cfg, x3, ref3, ref_len3, mask3, ph3, ph_mask3, t3)
+    v_c, v_no_text, v_no_spk = jnp.split(v3, 3, axis=0)
+    return (
+        v_c
+        + cfg_scale_text * (v_c - v_no_text)
+        + cfg_scale_speaker * (v_c - v_no_spk)
+    )
+
+
+def make_teacher_sampler(
+    cfg: BackboneConfig,
+    num_steps: int = 128,
+    cfg_scale_text: float = 2.0,
+    cfg_scale_speaker: float = 1.5,
+):
+    """Jitted many-step sampler: (params, ref, ref_len, ph, ph_len, seq_len,
+    key, t_bucket) -> latents (B, T, D)."""
+
+    @partial(jax.jit, static_argnames=("t_bucket",))
+    def sample(params, ref, ref_len, ph, ph_len, seq_lens, key, t_bucket: int):
+        b = ref.shape[0]
+        ph_mask = length_mask(ph_len, ph.shape[1])
+        mask = length_mask(seq_lens, t_bucket)
+        ts = jnp.linspace(1.0, 0.0, num_steps, dtype=jnp.float32)
+        x0 = jnp.zeros((b, t_bucket, cfg.latent_dim), jnp.float32)
+
+        def body(i, carry):
+            x_pred, k = carry
+            alpha, sigma = get_alpha_sigma(ts[i])
+            k, sub = jax.random.split(k)
+            noise = jax.random.normal(sub, x_pred.shape, x_pred.dtype)
+            x_t = alpha * x_pred + sigma * noise
+            t_vec = jnp.full((b,), ts[i], jnp.float32)
+            v = cfg_velocity(
+                params, cfg, x_t, ref, ref_len, mask, ph, ph_mask, t_vec,
+                cfg_scale_text, cfg_scale_speaker,
+            )
+            return (alpha * x_t - sigma * v, k)
+
+        x_pred, _ = lax.fori_loop(0, num_steps, body, (x0, key))
+        return jnp.where(mask[..., None], x_pred, 0.0)
+
+    return sample

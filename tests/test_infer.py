@@ -80,6 +80,52 @@ def test_synthesize_timed_stages(tts):
         assert getattr(timing, stage) > 0
 
 
+def test_multidevice_inference_matches_single(tts):
+    """Same synthesis on a dp=8 mesh must produce identical audio."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from smalltts_tpu.parallel.mesh import make_mesh
+    from tiny import TINY_BACKBONE, TINY_CODEC
+    from smalltts_tpu.models.backbone import init_backbone
+    from smalltts_tpu.models.codec import init_codec
+
+    mesh = make_mesh(dp=8, tp=1)
+    tts_mesh = SmallTTS(
+        init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE),
+        init_codec(jax.random.PRNGKey(1), TINY_CODEC),
+        cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC, mesh=mesh,
+    )
+    ref = np.random.RandomState(5).randn(8, 8, 64).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+    args = (
+        ref, np.full(8, 8), np.tile(np.arange(1, 65)[None], (8, 1)),
+        np.full(8, 10), np.full(8, 12), 16,
+    )
+    a_single = tts.synthesize_padded(*args, key=key)
+    a_mesh = tts_mesh.synthesize_padded(*args, key=key)
+    np.testing.assert_allclose(a_mesh, a_single, atol=2e-5)
+
+
+def test_teacher_sampler_shapes(tts):
+    from smalltts_tpu.infer.teacher_sampler import make_teacher_sampler
+    from tiny import TINY_BACKBONE
+
+    sampler = make_teacher_sampler(TINY_BACKBONE, num_steps=3)
+    lat = sampler(
+        tts.params,
+        jnp.asarray(np.random.RandomState(0).randn(2, 8, 64), np.float32),
+        jnp.asarray([8, 5]),
+        jnp.asarray(np.random.RandomState(1).randint(1, 198, (2, 6))),
+        jnp.asarray([6, 3]),
+        jnp.asarray([16, 10]),
+        jax.random.PRNGKey(0),
+        t_bucket=16,
+    )
+    assert lat.shape == (2, 16, 64)
+    assert np.isfinite(np.asarray(lat)).all()
+    assert float(jnp.abs(lat[1, 10:]).max()) == 0.0
+
+
 def test_forward_transcription_prepend(tts, monkeypatch):
     # forward() must prepend transcription tokens to text tokens
     import smalltts_tpu.text as text_mod
