@@ -1,0 +1,86 @@
+"""Long-form synthesis: sentence chunking for texts beyond the 30 s cap.
+
+The reference clamps duration to 30 s and notes long text "would be handled
+by chunking at the application layer (not implemented)" (SURVEY.md section 5;
+reference: src/smalltts/infer/onnx.py:17-18). Implemented here: split text on
+sentence boundaries (keeping bracketed events attached), synthesize each
+chunk with the same reference latents (voice consistency), concatenate with a
+short crossfade.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Sequence
+
+import numpy as np
+
+from smalltts_tpu.data.bucketing import SAMPLE_RATE
+
+_SENTENCE_RE = re.compile(r"[^.!?…]*(?:\[[^\]]*\][^.!?…]*)*[.!?…]+|[^.!?…]+$")
+
+
+def split_sentences(text: str, max_chars: int = 330) -> List[str]:
+    """Sentence-ish chunks, each under max_chars (~30 s at 11.5 chars/s)."""
+    sentences = [m.group(0).strip() for m in _SENTENCE_RE.finditer(text)]
+    sentences = [s for s in sentences if s]
+    chunks: List[str] = []
+    cur = ""
+    for s in sentences:
+        if len(s) > max_chars:  # pathological sentence: hard-split on words
+            words = s.split()
+            s_cur = ""
+            for w in words:
+                if len(s_cur) + len(w) + 1 > max_chars and s_cur:
+                    chunks.append(s_cur)
+                    s_cur = w
+                else:
+                    s_cur = f"{s_cur} {w}".strip()
+            if s_cur:
+                sentences_rest = s_cur
+                s = sentences_rest
+            else:
+                continue
+        if cur and len(cur) + len(s) + 1 > max_chars:
+            chunks.append(cur)
+            cur = s
+        else:
+            cur = f"{cur} {s}".strip()
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def crossfade_concat(parts: Sequence[np.ndarray], fade_ms: float = 20.0,
+                     sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Concatenate (1, T) waveforms with linear crossfades."""
+    fade = int(sr * fade_ms / 1e3)
+    out = np.asarray(parts[0], np.float32).reshape(-1)
+    for part in parts[1:]:
+        nxt = np.asarray(part, np.float32).reshape(-1)
+        f = min(fade, len(out), len(nxt))
+        if f > 0:
+            ramp = np.linspace(0.0, 1.0, f, dtype=np.float32)
+            overlap = out[-f:] * (1 - ramp) + nxt[:f] * ramp
+            out = np.concatenate([out[:-f], overlap, nxt[f:]])
+        else:
+            out = np.concatenate([out, nxt])
+    return out[None, :]
+
+
+def synthesize_long(tts, ref_latents: np.ndarray, text: str,
+                    chars_per_second: float = 11.5) -> np.ndarray:
+    """Chunked synthesis of arbitrarily long text -> (1, samples) @24 kHz."""
+    from smalltts_tpu.infer.pipeline import estimate_duration
+    from smalltts_tpu.text import get_token_ids
+
+    parts = []
+    for chunk in split_sentences(text):
+        tokens = get_token_ids(chunk)
+        if not tokens:
+            continue
+        duration = estimate_duration(chunk)
+        parts.append(tts.synthesize(ref_latents, tokens, duration))
+    if not parts:
+        return np.zeros((1, 0), np.float32)
+    return crossfade_concat(parts)

@@ -93,6 +93,19 @@ class TTSServer:
             return 200, list(CORS_HEADERS), b""
         if method == "GET" and path == "/health":
             return 200, list(CORS_HEADERS), b"ok"
+        if method == "GET" and path == "/stats":
+            ms = sorted(self.stats.synth_ms)
+            p50 = ms[len(ms) // 2] if ms else 0.0
+            p95 = ms[int(len(ms) * 0.95)] if ms else 0.0
+            return (
+                200,
+                [("content-type", "application/json"), *CORS_HEADERS],
+                json.dumps(
+                    {"requests": self.stats.requests,
+                     "synth_ms_p50": round(p50, 2),
+                     "synth_ms_p95": round(p95, 2)}
+                ).encode(),
+            )
         if method == "GET" and path == "/.well-known/x402":
             return (
                 200,

@@ -1,0 +1,80 @@
+"""Long-form chunked synthesis + batcher concurrency stress."""
+
+import concurrent.futures
+
+import numpy as np
+import pytest
+
+import jax
+
+from tiny import TINY_BACKBONE, TINY_CODEC
+from smalltts_tpu.infer.long_form import crossfade_concat, split_sentences, synthesize_long
+from smalltts_tpu.infer.pipeline import SmallTTS
+from smalltts_tpu.models.backbone import init_backbone
+from smalltts_tpu.models.codec import init_codec
+
+
+def test_split_sentences_respects_limits():
+    text = "One. Two! Three? " + "word " * 200 + ". Done."
+    chunks = split_sentences(text, max_chars=100)
+    assert all(len(c) <= 100 for c in chunks)
+    assert "".join(chunks).count("One") == 1
+
+
+def test_split_keeps_bracketed_events():
+    chunks = split_sentences("Hello [laughter]. Bye [sigh].", max_chars=50)
+    joined = " ".join(chunks)
+    assert "[laughter]" in joined and "[sigh]" in joined
+
+
+def test_crossfade_concat_length():
+    a = np.ones((1, 2400), np.float32)
+    b = -np.ones((1, 2400), np.float32)
+    out = crossfade_concat([a, b], fade_ms=20.0)
+    f = int(24_000 * 0.02)
+    assert out.shape == (1, 2400 * 2 - f)
+    assert np.isfinite(out).all()
+
+
+@pytest.fixture(scope="module")
+def tts():
+    return SmallTTS(
+        init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE),
+        init_codec(jax.random.PRNGKey(1), TINY_CODEC),
+        cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
+    )
+
+
+def test_synthesize_long(tts, monkeypatch):
+    import smalltts_tpu.infer.long_form as lf
+
+    monkeypatch.setattr(
+        "smalltts_tpu.text.get_token_ids", lambda text: [1, 2, 3], raising=True
+    )
+    ref = np.random.RandomState(0).randn(8, 64).astype(np.float32)
+    audio = synthesize_long(tts, ref, "Short one. Another short one!")
+    assert audio.shape[0] == 1 and audio.shape[1] > 24_000
+    assert np.isfinite(audio).all()
+
+
+def test_batcher_concurrent_stress(tts):
+    """Many threads submitting simultaneously: all futures resolve, correct
+    per-request lengths, no cross-request corruption."""
+    from smalltts_tpu.serving.batcher import Batcher
+
+    batcher = Batcher(tts, max_batch=4, window_ms=10.0)
+    rng = np.random.RandomState(0)
+    durations = [0.5, 1.0, 1.5, 2.0, 5.0, 1.0, 0.7, 2.2, 5.5, 1.1]
+
+    def submit(d):
+        ref = rng.randn(6, 64).astype(np.float32)
+        return batcher.submit(ref, [1, 2, 3], d)
+
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        futures = list(pool.map(submit, durations))
+    for d, fut in zip(durations, futures):
+        audio = fut.result(timeout=120)
+        expected = max(1, int(np.ceil(d * 24_000 / 3200))) * 3200
+        assert audio.shape == (1, expected), (d, audio.shape)
+        assert np.isfinite(audio).all()
+    batcher.close()
