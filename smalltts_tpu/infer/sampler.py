@@ -46,16 +46,18 @@ def sample_latents(
     key: jax.Array,
     num_steps: int = NUM_STEPS,
     noises: Optional[jax.Array] = None,  # (num_steps, B, T, 64) parity injection
+    t_bucket: Optional[int] = None,
 ) -> jax.Array:
-    """Run cond-encode + the 4-step loop; returns masked latents (B, T, 64)."""
-    b, t_bucket = phonemes.shape[0], None
+    """Run cond-encode + the step loop; returns masked latents (B, T, 64).
+
+    The static bucket length comes from `t_bucket` or the injected `noises`
+    shape (parity tests inject fixed noise, reference: infer/onnx.py:104)."""
     ph_mask = length_mask(phoneme_lengths, phonemes.shape[1])
     cond = encode_conditions(params, cfg, ref_latents, ref_lengths, phonemes, ph_mask)
-
-    # bucket length comes from the (static) noises shape or caller-built mask
-    t_bucket = noises.shape[2] if noises is not None else None
     if t_bucket is None:
-        raise ValueError("pass `noises` or use sample_latents_bucket")
+        if noises is None:
+            raise ValueError("pass t_bucket or noises (its shape fixes the bucket)")
+        t_bucket = noises.shape[2]
     return _sample_loop(
         params, cfg, cond, seq_lengths, t_bucket, key, num_steps, noises
     )

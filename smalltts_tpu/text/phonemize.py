@@ -46,9 +46,10 @@ class EspeakBackend:
             or ctypes.util.find_library("espeak-ng")
             or ctypes.util.find_library("espeak")
         )
-        if not path or not os.path.exists(path) and "/" in str(path):
-            if not path:
-                raise RuntimeError("libespeak-ng not found")
+        if not path:
+            raise RuntimeError("libespeak-ng not found")
+        if "/" in path and not os.path.exists(path):
+            raise RuntimeError(f"espeak library path {path!r} does not exist")
         self._lib = ctypes.cdll.LoadLibrary(path)
         self._lock = threading.Lock()
         rate = self._lib.espeak_Initialize(self._AUDIO_OUTPUT_SYNCHRONOUS, 0, None, 0)
