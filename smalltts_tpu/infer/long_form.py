@@ -28,18 +28,18 @@ def split_sentences(text: str, max_chars: int = 330) -> List[str]:
     cur = ""
     for s in sentences:
         if len(s) > max_chars:  # pathological sentence: hard-split on words
-            words = s.split()
-            s_cur = ""
-            for w in words:
-                if len(s_cur) + len(w) + 1 > max_chars and s_cur:
-                    chunks.append(s_cur)
-                    s_cur = w
+            if cur:  # flush pending text first to preserve order
+                chunks.append(cur)
+                cur = ""
+            piece = ""
+            for w in s.split():
+                if piece and len(piece) + len(w) + 1 > max_chars:
+                    chunks.append(piece)
+                    piece = w
                 else:
-                    s_cur = f"{s_cur} {w}".strip()
-            if s_cur:
-                sentences_rest = s_cur
-                s = sentences_rest
-            else:
+                    piece = f"{piece} {w}".strip()
+            s = piece
+            if not s:
                 continue
         if cur and len(cur) + len(s) + 1 > max_chars:
             chunks.append(cur)

@@ -21,6 +21,14 @@ def test_split_sentences_respects_limits():
     assert "".join(chunks).count("One") == 1
 
 
+def test_split_sentences_preserves_order():
+    text = "Short lead-in. " + "gigantic " * 40 + ". Tail."
+    chunks = split_sentences(text, max_chars=80)
+    joined = " ".join(chunks)
+    assert joined.index("Short lead-in") < joined.index("gigantic")
+    assert joined.rstrip().endswith("Tail.")
+
+
 def test_split_keeps_bracketed_events():
     chunks = split_sentences("Hello [laughter]. Bye [sigh].", max_chars=50)
     joined = " ".join(chunks)
