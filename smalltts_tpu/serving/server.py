@@ -155,7 +155,9 @@ class TTSServer:
 
         t0 = time.perf_counter()
         try:
-            batcher = self._ensure_pipeline()
+            # pipeline construction can compile for minutes — never block the
+            # event loop (use server --warmup to pay this at startup)
+            batcher = await loop.run_in_executor(None, self._ensure_pipeline)
             ref_latents = await loop.run_in_executor(
                 None, self._tts.encode_reference, samples
             )
@@ -236,13 +238,18 @@ def main() -> None:
     ap.add_argument("--payments", default="disabled",
                     choices=["disabled", "trust", "facilitator"])
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile model + serving bucket grid before listening")
     args = ap.parse_args()
 
     tts = None
-    if args.checkpoint:
+    if args.checkpoint or args.warmup:
         from smalltts_tpu.infer.pipeline import SmallTTS
 
         tts = SmallTTS(checkpoint=args.checkpoint)
+        if args.warmup:
+            print("warming up serving graphs...")
+            tts.warmup()
     srv = TTSServer(tts=tts, x402_cfg=X402Config(mode=args.payments))
     asyncio.run(srv.run(args.host, args.port))
 
