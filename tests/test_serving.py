@@ -159,6 +159,51 @@ def test_end_to_end_synthesize_through_batcher():
     server._batcher.close()
 
 
+def test_facilitator_mode_verifies_payment(monkeypatch):
+    """facilitator mode POSTs the payment for verification; the gate honors
+    the isValid verdict (and fails closed on network errors)."""
+    import io
+    import urllib.request
+
+    from smalltts_tpu.serving.x402 import X402Gate
+
+    gate = X402Gate(X402Config(mode="facilitator"))
+    calls = {}
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=0):
+        calls["url"] = req.full_url
+        calls["body"] = json.loads(req.data)
+        return FakeResp(json.dumps({"isValid": calls.get("valid", True)}).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    payment = base64.b64encode(json.dumps({"sig": "0xabc"}).encode()).decode()
+
+    ok, challenge = gate.check({"x-payment": payment}, 5.0, "/synthesize")
+    assert ok and challenge is None
+    assert calls["url"].endswith("/verify")
+    assert calls["body"]["paymentRequirements"]["maxAmountRequired"] == str(
+        price_for_duration(5.0)
+    )
+
+    calls["valid"] = False
+    ok, challenge = gate.check({"x-payment": payment}, 5.0, "/synthesize")
+    assert not ok and challenge
+
+    def broken(req, timeout=0):
+        raise OSError("no egress")
+
+    monkeypatch.setattr(urllib.request, "urlopen", broken)
+    ok, challenge = gate.check({"x-payment": payment}, 5.0, "/synthesize")
+    assert not ok  # fails closed
+
+
 def test_socket_transport_health_and_402():
     """Real asyncio socket round-trip: HTTP parsing, 402 header, keep-alive."""
     import urllib.error
