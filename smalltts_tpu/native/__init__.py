@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libsmalltts_audio.so")
+_SO = os.path.join(_DIR, "build", "libsmalltts_audio.so")
 _lib = None
 _tried = False
 
