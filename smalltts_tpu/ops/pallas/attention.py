@@ -11,6 +11,12 @@ or mask ever touches HBM, and no online-softmax bookkeeping is needed.
 Numerics: fp32 scores/softmax regardless of input dtype (matching ops.nn.sdpa),
 output cast back. Key mask is a (B, S) bool; fully-masked rows produce a
 uniform average (finite), identical to the XLA path.
+
+Measured on v5e-1 (4-step denoise loop, batch 8, T=40/S=136, bf16): XLA path
+7.04 ms vs Pallas 7.58 ms with bit-identical outputs — XLA's own attention
+fusion already saturates this size, so the kernel stays OPT-IN
+(SMALLTTS_PALLAS_ATTENTION=1 / ops.nn.set_pallas_attention); it becomes the
+win once sequences grow past the VMEM-resident regime XLA fuses well.
 """
 
 from __future__ import annotations
@@ -30,7 +36,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
     q = q_ref[0, 0].astype(jnp.float32)        # (Tq, D)
     k = k_ref[0, 0].astype(jnp.float32)        # (S, D)
     v = v_ref[0, 0].astype(jnp.float32)        # (S, D)
-    mask = mask_ref[:]                          # (1, S) bool
+    mask = mask_ref[0]                          # (1, S) bool
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -68,7 +74,10 @@ def fused_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            # (B, 1, S) so the block's trailing dims equal the array's (the
+            # TPU lowering requires trailing block dims divisible by (8, 128)
+            # OR equal to the full array dims)
+            pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, tq, d), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -79,4 +88,4 @@ def fused_attention(
             transcendentals=b * h * tq * s,
         ),
         interpret=interpret,
-    )(q, k, v, key_mask)
+    )(q, k, v, key_mask[:, None, :])
