@@ -131,19 +131,33 @@ def make_student_step(
     tx,
     train_cfg: DistillConfig = DistillConfig(),
 ):
+    """Two jitted graphs instead of one monster:
+
+    1. `targets` (NO backward): backward simulation, teacher double-CFG,
+       scorer fake score + features, DMD target — the bulk of the per-step
+       FLOPs but compile-cheap without autodiff;
+    2. `update` (backward through the student only): recompute x0 with grad
+       (one extra student forward vs the reference's eager autograd, ~8% of
+       step FLOPs), pseudo-MSE to the precomputed target, LSGAN generator
+       loss through the frozen discriminator — via x_t WITH gradient, exactly
+       the reference's gradient path (distill.py:289-341: x_t carries grad
+       into the discriminator's noised-latents projection) — plus frozen-ASR
+       CTC and frozen-SV cosine losses.
+
+    A single fused graph compiled >10 min at full size on v5e; this split
+    compiles each piece in minutes and costs one extra student forward.
+    """
     timesteps = jnp.asarray(TIMESTEPS)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def student_step(
-        student, student_opt, teacher, scorer, disc, asr, sv, batch, step, key
-    ):
+    @jax.jit
+    def targets(student, teacher, scorer, batch, key):
         (latents, lat_len, mask, ph, ph_len, ph_mask, ref, ref_len) = _unpack(batch)
         b = latents.shape[0]
-        ks = jax.random.split(key, 6)
+        ks = jax.random.split(key, 5)
 
         # frozen-teacher style sequence for the discriminator (distill.py:240-244)
         ref_seq, ref_mask = style_encoder(
-            jax.lax.stop_gradient(teacher)["style_encoder"], ref, ref_len, cfg.style
+            teacher["style_encoder"], ref, ref_len, cfg.style
         )
 
         # backward simulation (distill.py:248-287)
@@ -151,45 +165,54 @@ def make_student_step(
         t_prev = timesteps[idx]
         t_cur = timesteps[idx + 1]
         z_prev, _ = apply_noise(latents, t_prev, jax.random.normal(ks[1], latents.shape))
-        x0_prev = jax.lax.stop_gradient(
-            _x_pred(student, cfg, z_prev, ref, ref_len, mask, ph, ph_mask, t_prev)
-        )
+        x0_prev = _x_pred(student, cfg, z_prev, ref, ref_len, mask, ph, ph_mask, t_prev)
         z, _ = apply_noise(x0_prev, t_cur, jax.random.normal(ks[2], latents.shape))
 
+        # student's x0 (detached copy; the update graph recomputes it w/ grad)
+        x0 = _x_pred(student, cfg, z, ref, ref_len, mask, ph, ph_mask, t_cur)
         ts = jax.random.uniform(ks[3], (b,))
         noise_t = jax.random.normal(ks[4], latents.shape)
+        x_t, _ = apply_noise(x0, ts, noise_t)
+
         valid = mask[..., None].astype(jnp.float32)
+        p_real = (x0 - _x_pred_cfg(teacher, cfg, x_t, ref, ref_len, mask, ph, ph_mask, ts)) * valid
+        x_pred_fake, feats_fake = _x_pred(
+            scorer, cfg, x_t, ref, ref_len, mask, ph, ph_mask, ts,
+            return_features=True,
+        )
+        p_fake = (x0 - x_pred_fake) * valid
+        denom = jnp.abs(p_real).mean(axis=(1, 2), keepdims=True)
+        grad = jnp.nan_to_num((p_real - p_fake) / denom)
+        grad_mag = jnp.linalg.norm(grad.reshape(b, -1), axis=-1)
+        target = x0 - grad
+        return {
+            "z": z, "t_cur": t_cur, "ts": ts, "noise_t": noise_t,
+            "target": target, "feats_fake": feats_fake, "x0_prev": x0_prev,
+            "x_t": x_t, "ref_seq": ref_seq, "ref_mask": ref_mask,
+            "dmd_grad_mag": grad_mag.mean(),
+        }
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def update(student, student_opt, disc, asr, sv, batch, tgt, step):
+        (latents, lat_len, mask, ph, ph_len, ph_mask, ref, ref_len) = _unpack(batch)
+        valid = mask[..., None].astype(jnp.float32)
+        sg = jax.lax.stop_gradient
 
         def student_loss(student_p):
-            x0 = _x_pred(student_p, cfg, z, ref, ref_len, mask, ph, ph_mask, t_cur)
-            x_t, _ = apply_noise(x0, ts, noise_t)
-
-            # ---- DMD gradient (all stop-grad except x0) ----
-            sg = jax.lax.stop_gradient
-            x0_sg, x_t_sg = sg(x0), sg(x_t)
-            p_real = x0_sg - _x_pred_cfg(
-                teacher, cfg, x_t_sg, ref, ref_len, mask, ph, ph_mask, ts
+            x0 = _x_pred(
+                student_p, cfg, tgt["z"], ref, ref_len, mask, ph, ph_mask, tgt["t_cur"]
             )
-            x_pred_fake, feats_fake = _x_pred(
-                scorer, cfg, x_t_sg, ref, ref_len, mask, ph, ph_mask, ts,
-                return_features=True,
-            )
-            p_fake = x0_sg - x_pred_fake
-            p_real = sg(p_real) * valid
-            p_fake = sg(p_fake) * valid
-            denom = jnp.abs(p_real).mean(axis=(1, 2), keepdims=True)
-            grad = jnp.nan_to_num((p_real - p_fake) / denom)
-            grad_mag = jnp.linalg.norm(grad.reshape(b, -1), axis=-1)
-            target = sg(x0_sg - grad)
             # denominator counts valid *elements* (mask x latent channels),
             # matching reference valid.expand(-1,-1,64).sum() (distill.py:246,324-328)
             n_valid = jnp.maximum(valid.sum() * x0.shape[-1], 1.0)
-            pseudo = 0.5 * (((x0 - target) ** 2) * valid).sum() / n_valid
+            pseudo = 0.5 * (((x0 - sg(tgt["target"])) ** 2) * valid).sum() / n_valid
 
-            # ---- LSGAN generator loss through frozen discriminator ----
+            # ---- LSGAN generator loss: grads flow through x_t (= noised x0)
+            # into the discriminator's audio projection (distill.py:289-341)
+            x_t, _ = apply_noise(x0, tgt["ts"], tgt["noise_t"])
             logits, _ = discriminator_forward(
-                sg(disc), disc_cfg, sg(feats_fake), x_t_sg, ref_seq, ref_mask,
-                mask, ph, ts,
+                sg(disc), disc_cfg, sg(tgt["feats_fake"]), x_t, tgt["ref_seq"],
+                tgt["ref_mask"], mask, ph, tgt["ts"],
             )
             gan = ((logits - 1.0) ** 2).mean()
 
@@ -209,23 +232,31 @@ def make_student_step(
             lam_asr = jnp.where(step > train_cfg.asr_start_step, 1.0, 0.0)
             lam_sv = jnp.where(step > train_cfg.sv_start_step, 1.0, 0.0)
             total = pseudo + train_cfg.gan_weight * gan + lam_asr * ctc + lam_sv * sv_loss
-            aux = {
-                "st_pseudo": pseudo, "st_gan": gan, "st_asr": ctc, "st_sv": sv_loss,
-                "dmd_grad_mag": grad_mag.mean(),
-                "x0": sg(x0), "x_t": x_t_sg, "feats_fake": sg(feats_fake),
-            }
+            aux = {"st_pseudo": pseudo, "st_gan": gan, "st_asr": ctc,
+                   "st_sv": sv_loss, "x_t": sg(x_t)}
             return total, aux
 
         (loss, aux), grads = jax.value_and_grad(student_loss, has_aux=True)(student)
         updates, student_opt = tx.update(grads, student_opt, student)
         student = optax.apply_updates(student, updates)
+        return student, student_opt, aux
+
+    def student_step(student, student_opt, teacher, scorer, disc, asr, sv,
+                     batch, step, key):
+        tgt = targets(student, teacher, scorer, batch, key)
+        student, student_opt, aux = update(
+            student, student_opt, disc, asr, sv, batch, tgt, step
+        )
         carry = {
-            "x0": aux["x0"], "x0_prev": x0_prev, "x_t": aux["x_t"],
-            "feats_fake": aux["feats_fake"], "ref_seq": ref_seq,
-            "ref_mask": ref_mask, "ts": ts, "t_cur": t_cur,
-            "noise_key": ks[5],
+            "x0_prev": tgt["x0_prev"], "x_t": aux["x_t"],
+            "feats_fake": tgt["feats_fake"], "ref_seq": tgt["ref_seq"],
+            "ref_mask": tgt["ref_mask"], "ts": tgt["ts"], "t_cur": tgt["t_cur"],
         }
-        metrics = {k: aux[k] for k in ("st_pseudo", "st_gan", "st_asr", "st_sv", "dmd_grad_mag")}
+        metrics = {
+            "st_pseudo": aux["st_pseudo"], "st_gan": aux["st_gan"],
+            "st_asr": aux["st_asr"], "st_sv": aux["st_sv"],
+            "dmd_grad_mag": tgt["dmd_grad_mag"],
+        }
         return student, student_opt, carry, metrics
 
     return student_step
