@@ -79,7 +79,8 @@ def to_mono(samples: np.ndarray) -> np.ndarray:
     return samples.mean(axis=0) if samples.ndim == 2 else samples
 
 
-def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+def resample(x: np.ndarray, sr_in: int, sr_out: int,
+             width: int = LOWPASS_WIDTH) -> np.ndarray:
     """Polyphase windowed-sinc resampler (kaiser beta 14.77, rolloff 0.94)."""
     if sr_in == sr_out:
         return x.astype(np.float32)
@@ -88,7 +89,7 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     g = math.gcd(sr_in, sr_out)
     up, down = sr_out // g, sr_in // g
     max_rate = max(up, down)
-    half_len = LOWPASS_WIDTH * max_rate
+    half_len = width * max_rate
     # cutoff at rolloff * nyquist of the lower rate, normalized to the
     # upsampled rate: f_c = rolloff / max(up, down)
     f_c = ROLLOFF / max_rate
@@ -121,5 +122,6 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 24_000) -> bytes:
 
 
 def resample_hq(audio: np.ndarray, sr_in: int, sr_out: int = 24_000) -> np.ndarray:
-    """HQ resample for reference audio (reference: infer/utils.py:19-23)."""
-    return resample(audio, sr_in, sr_out)
+    """HQ resample for reference audio — lowpass width 1024 like the
+    reference's torchaudio settings (reference: infer/utils.py:7-23)."""
+    return resample(audio, sr_in, sr_out, width=1024)
