@@ -111,7 +111,7 @@ def decode_and_resample(data: bytes, target_sr: int = 24_000) -> np.ndarray:
 def encode_wav(samples: np.ndarray, sample_rate: int = 24_000) -> bytes:
     """Mono float32 -> 16-bit PCM WAV bytes with clamp (audio.rs:22-36)."""
     x = np.clip(np.asarray(samples, np.float32).reshape(-1), -1.0, 1.0)
-    pcm = (x * 32767.0).astype("<i2").tobytes()
+    pcm = np.rint(x * 32767.0).astype("<i2").tobytes()
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(pcm), b"WAVE",
