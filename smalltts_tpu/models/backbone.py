@@ -89,6 +89,21 @@ def time_embedding(p, t: jax.Array, dim: int = 256) -> jax.Array:
     return nn.linear(p["l2"], jax.nn.silu(nn.linear(p["l1"], emb)))
 
 
+def _check_shapes(cfg, noised, ref_latents, mask, phonemes, phonemes_mask, t):
+    """Trace-time shape validation (the functional analogue of the
+    reference's jaxtyping/beartype signatures, model.py:56-65)."""
+    import chex
+
+    chex.assert_rank([noised, ref_latents], 3)
+    chex.assert_rank([mask, phonemes, phonemes_mask], 2)
+    chex.assert_rank(t, 1)
+    chex.assert_axis_dimension(noised, 2, cfg.latent_dim)
+    chex.assert_axis_dimension(ref_latents, 2, cfg.latent_dim)
+    chex.assert_equal_shape([phonemes, phonemes_mask])
+    chex.assert_equal_shape_prefix([noised, mask], 2)
+    chex.assert_equal_shape_prefix([noised, ref_latents, phonemes, t], 1)
+
+
 def backbone_forward(
     p,
     cfg: BackboneConfig,
@@ -103,6 +118,7 @@ def backbone_forward(
 ):
     """Full training forward -> velocity (B, T, latent_dim)
     [+ stacked per-layer features (B, L, T, H) if requested]."""
+    _check_shapes(cfg, noised, ref_latents, mask, phonemes, phonemes_mask, t)
     ref_seq, ref_mask = style_encoder(p["style_encoder"], ref_latents, ref_latents_lengths, cfg.style)
     phoneme_embedding = text_encoder(p["phoneme_embedding"], phonemes, phonemes_mask, cfg.text)
     t_emb = time_embedding(p["time_embedding"], t, cfg.time_embed_dim)
