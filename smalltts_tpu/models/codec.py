@@ -144,6 +144,10 @@ def _time_to_depth(x: jax.Array, r: int) -> jax.Array:
 def codec_encode(p, audio: jax.Array, cfg: CodecConfig = CodecConfig()) -> jax.Array:
     """(B, 1, T) 24 kHz waveform -> (B, T//3200, latent_dim). T must be a
     multiple of hop (pad host-side; see infer.pipeline)."""
+    if audio.shape[-1] % cfg.hop != 0:
+        raise ValueError(
+            f"audio length {audio.shape[-1]} must be a multiple of hop {cfg.hop}"
+        )
     x = audio.transpose(0, 2, 1)  # channel-last (B, T, 1)
     x = nn.conv1d(p["enc_in"], x)
     for stage, i in zip(p["enc_stages"], reversed(range(len(cfg.strides)))):
