@@ -13,7 +13,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from smalltts_tpu.models.conformer import ConformerConfig, conformer, init_conformer
 from smalltts_tpu.ops import nn

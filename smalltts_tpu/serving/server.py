@@ -21,7 +21,7 @@ import json
 import time
 import urllib.parse
 from dataclasses import dataclass, field
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 from smalltts_tpu.serving.x402 import X402Config, X402Gate
 

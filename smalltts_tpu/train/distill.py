@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -357,10 +357,7 @@ def train_distill(
     """
     from dataclasses import replace
 
-    from smalltts_tpu.models.asr import init_asr
-    from smalltts_tpu.models.backbone import init_backbone
     from smalltts_tpu.models.discriminator import init_discriminator
-    from smalltts_tpu.models.sv import init_sv
     from smalltts_tpu.data.dummy import get_dummy_dataloader
     from smalltts_tpu.train.optim import distill_optimizer
     from smalltts_tpu.utils import checkpoint as ckpt
