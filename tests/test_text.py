@@ -103,6 +103,32 @@ def test_normalizer_rules():
     assert "twenty-first" in n.normalize("21st")
 
 
+def test_ensure_assets_skips_existing(tmp_path, monkeypatch):
+    """Present folders are skipped without importing huggingface_hub
+    (reference: assets/ensure.py:29-40)."""
+    from smalltts_tpu.assets.ensure import ensure_assets
+
+    (tmp_path / "codec").mkdir()
+    ensure_assets(["codec"], root=str(tmp_path))  # must not raise / download
+
+
+def test_ensure_assets_raises_cleanly_without_hub(tmp_path, monkeypatch):
+    import builtins
+
+    from smalltts_tpu.assets import ensure
+
+    real_import = builtins.__import__
+
+    def no_hub(name, *a, **k):
+        if name.startswith("huggingface_hub"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_hub)
+    with pytest.raises(RuntimeError, match="huggingface_hub"):
+        ensure.ensure_assets(["missing_folder"], root=str(tmp_path))
+
+
 def test_merge_transcript_orders_by_time():
     words = [{"start": 0.0, "word": "hello"}, {"start": 2.0, "word": "world"}]
     events = [
