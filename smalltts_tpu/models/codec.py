@@ -120,14 +120,21 @@ def init_codec(key, cfg: CodecConfig = CodecConfig(), dtype=jnp.float32):
             "conv": nn.init_conv1d(next(keys), c_in, c_out * r, cfg.kernel, dtype=dtype),
         })
 
+    # heads are FOLDED into the finest low rate (3 kHz): the input head
+    # consumes r_last waveform samples per position as channels, the output
+    # head emits r_last waveform samples as channels — nothing elementwise or
+    # convolutional ever runs at 24 kHz with <128 channels (measured 3.2 ms of
+    # a 10 ms decode was the old 24 kHz head at 25% VPU lane utilization).
+    r_last = cfg.strides[-1]
+    wide = ch[-1] * r_last
     return {
-        "enc_in": nn.init_conv1d(next(keys), 1, ch[-1], cfg.head_kernel, dtype=dtype),
+        "enc_in": nn.init_conv1d(next(keys), r_last, wide, cfg.head_kernel, dtype=dtype),
         "enc_stages": enc_stages,
         "enc_out": nn.init_conv1d(next(keys), ch[0], cfg.latent_dim, 3, dtype=dtype),
         "dec_in": nn.init_conv1d(next(keys), cfg.latent_dim, ch[0], 3, dtype=dtype),
         "dec_stages": dec_stages,
-        "dec_log_alpha": jnp.zeros((ch[-1],), dtype),
-        "dec_out": nn.init_conv1d(next(keys), ch[-1], 1, cfg.head_kernel, dtype=dtype),
+        "dec_log_alpha": jnp.zeros((wide,), dtype),
+        "dec_out": nn.init_conv1d(next(keys), wide, r_last, cfg.head_kernel, dtype=dtype),
     }
 
 
@@ -148,11 +155,18 @@ def codec_encode(p, audio: jax.Array, cfg: CodecConfig = CodecConfig()) -> jax.A
         raise ValueError(
             f"audio length {audio.shape[-1]} must be a multiple of hop {cfg.hop}"
         )
-    x = audio.transpose(0, 2, 1)  # channel-last (B, T, 1)
-    x = nn.conv1d(p["enc_in"], x)
+    b, _, t = audio.shape
+    r_last = cfg.strides[-1]
+    # input head at the finest LOW rate: r_last waveform samples -> channels
+    x = audio.transpose(0, 2, 1).reshape(b, t // r_last, r_last)
+    x = nn.conv1d(p["enc_in"], x)  # (B, T/r, ch[-1]*r) at 3 kHz
+    first = True
     for stage, i in zip(p["enc_stages"], reversed(range(len(cfg.strides)))):
         r = cfg.strides[i]
-        x = _time_to_depth(x, r)
+        if first:
+            first = False  # enc_in already produced the widened representation
+        else:
+            x = _time_to_depth(x, r)
         x = nn.conv1d(stage["conv"], x)
         x = snake(x, stage["log_alpha"])
         for ru, d in zip(stage["res"], cfg.res_dilations):
@@ -163,12 +177,16 @@ def codec_encode(p, audio: jax.Array, cfg: CodecConfig = CodecConfig()) -> jax.A
 def codec_decode(p, latents: jax.Array, cfg: CodecConfig = CodecConfig()) -> jax.Array:
     """(B, T', latent_dim) -> (B, 1, T'*3200) waveform in [-1, 1]."""
     x = nn.conv1d(p["dec_in"], latents)
-    for stage, r in zip(p["dec_stages"], cfg.strides):
+    n = len(cfg.strides)
+    for i, (stage, r) in enumerate(zip(p["dec_stages"], cfg.strides)):
         for ru, d in zip(stage["res"], cfg.res_dilations):
             x = _res_unit(ru, x, d)
         x = snake(x, stage["log_alpha"])
         x = nn.conv1d(stage["conv"], x)   # conv at the LOW rate (MXU-wide)
-        x = _depth_to_time(x, r)
+        if i < n - 1:
+            x = _depth_to_time(x, r)
+        # last stage stays wide (ch[-1]*r at 3 kHz) for the folded head
     x = snake(x, p["dec_log_alpha"])
-    x = jnp.tanh(nn.conv1d(p["dec_out"], x))
-    return x.transpose(0, 2, 1)
+    x = jnp.tanh(nn.conv1d(p["dec_out"], x))  # (B, T/r, r) waveform-as-channels
+    b, t_low, r_last = x.shape
+    return x.reshape(b, 1, t_low * r_last)
