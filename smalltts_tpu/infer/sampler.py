@@ -64,11 +64,16 @@ def sample_latents(
 
 
 def _sample_loop(params, cfg, cond, seq_lengths, t_bucket, key, num_steps, noises):
+    from smalltts_tpu.models.backbone import time_embedding
+
     b = seq_lengths.shape[0]
     mask = length_mask(seq_lengths, t_bucket)
     ts = jnp.linspace(1.0, 0.0, num_steps, dtype=jnp.float32)
     dtype = params["velocity"]["w"].dtype
     x0 = jnp.zeros((b, t_bucket, cfg.latent_dim), dtype)
+    # all step times are known up front: one batched time-embedding MLP call
+    # instead of num_steps tiny latency-bound ones inside the loop
+    t_embs = time_embedding(params["time_embedding"], ts, cfg.time_embed_dim)
 
     def body(i, carry):
         x_pred, k = carry
@@ -83,7 +88,11 @@ def _sample_loop(params, cfg, cond, seq_lengths, t_bucket, key, num_steps, noise
             noise = lax.dynamic_index_in_dim(noises, i, keepdims=False).astype(dtype)
         x_t = alpha * x_pred + sigma * noise
         t_vec = jnp.full((b,), t_scalar, jnp.float32)
-        velocity = denoise_step(params, cfg, x_t, mask, t_vec, cond)
+        t_emb = jnp.broadcast_to(
+            lax.dynamic_index_in_dim(t_embs, i, keepdims=False)[None, :],
+            (b, t_embs.shape[-1]),
+        )
+        velocity = denoise_step(params, cfg, x_t, mask, t_vec, cond, t_emb=t_emb)
         x_pred = alpha * x_t - sigma * velocity
         return (x_pred, k)
 

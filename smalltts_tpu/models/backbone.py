@@ -155,9 +155,13 @@ def denoise_step(
     mask: jax.Array,
     t: jax.Array,
     cond: Conditions,
+    t_emb: jax.Array | None = None,
 ) -> jax.Array:
-    """One denoiser evaluation reusing cached conditions (reference: model.py:97-100)."""
-    t_emb = time_embedding(p["time_embedding"], t, cfg.time_embed_dim)
+    """One denoiser evaluation reusing cached conditions (reference: model.py:97-100).
+    `t_emb` lets the sampler hoist the time-embedding MLP out of its step loop
+    (the 4 step times are known up front)."""
+    if t_emb is None:
+        t_emb = time_embedding(p["time_embedding"], t, cfg.time_embed_dim)
     decoded = dit_forward_cached(
         p["dit"], cfg.dit, noised, t_emb, mask, cond.cross_kv, cond.ref_mask, cond.phonemes_mask
     )
