@@ -148,9 +148,21 @@ def _emb_proj(p, emb):
     return nn.linear(p["l2"], jax.nn.silu(nn.linear(p["l1"], emb)))
 
 
-def _adaln_zero(p, x, emb, eps=1e-6):
-    """AdaLN-zero: returns modulated x + (gate_msa, shift_mlp, scale_mlp, gate_mlp)."""
-    mod = nn.linear(p["linear"], jax.nn.silu(emb))
+def _all_block_modulations(blocks, emb):
+    """Precompute every block's adaLN-zero modulation in ONE wide einsum:
+    (B, H) x (L, H, 6H) -> (L, B, 6H), threaded into the scan as xs — instead
+    of L small latency-bound matmuls inside the scan body per step."""
+    s = jax.nn.silu(emb)
+    w = blocks["attn_norm"]["linear"]["w"]
+    b = blocks["attn_norm"]["linear"]["b"]
+    mod = jnp.einsum(
+        "bh,lhm->lbm", s, w.astype(s.dtype), preferred_element_type=jnp.float32
+    )
+    return (mod + b[:, None, :].astype(jnp.float32)).astype(s.dtype)
+
+
+def _apply_adaln_zero(mod, x, eps=1e-6):
+    """AdaLN-zero with a precomputed modulation (B, 6H)."""
     shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
     x = nn.layernorm_noaffine(x, eps) * (1 + scale_msa[:, None]) + shift_msa[:, None]
     return x, gate_msa, shift_mlp, scale_mlp, gate_mlp
@@ -202,9 +214,10 @@ def _ff(p, x):
     return nn.linear(p["w2"], jax.nn.silu(nn.linear(p["w1"], x)) * nn.linear(p["w3"], x))
 
 
-def _block_core(blk, cfg: DiTConfig, x, emb, mask, joint_key_mask, rope_freqs, kv: Tuple):
-    """Shared block body; `kv` is ((k_ref, v_ref, k_text, v_text)) already projected."""
-    norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = _adaln_zero(blk["attn_norm"], x, emb)
+def _block_core(blk, cfg: DiTConfig, x, mod, mask, joint_key_mask, rope_freqs, kv: Tuple):
+    """Shared block body; `mod` is this block's precomputed adaLN modulation;
+    `kv` is (k_ref, v_ref, k_text, v_text) already projected."""
+    norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = _apply_adaln_zero(mod, x)
     q, k_self, v_self = _self_qkv(blk["attn"], cfg, norm, rope_freqs)
     k = jnp.concatenate([k_self, kv[0], kv[2]], axis=2)
     v = jnp.concatenate([v_self, kv[1], kv[3]], axis=2)
@@ -245,18 +258,20 @@ def dit_forward(
     phoneme_mem = jnp.where(phonemes_mask[..., None], phoneme_mem, 0.0)
     emb = _emb_proj(p["emb_proj"], time_embedding)
     joint_key_mask = jnp.concatenate([mask, ref_mask, phonemes_mask], axis=1)
+    mods = _all_block_modulations(p["blocks"], emb)
 
-    def body(carry, blk):
+    def body(carry, scanned):
+        blk, mod = scanned
         kv_ref = _project_cross(blk["attn"], cfg, ref_seq, "ref")
         kv_text = _project_cross(blk["attn"], cfg, phoneme_mem, "text")
         out = _block_core(
-            blk, cfg, carry, emb, mask, joint_key_mask, rope,
+            blk, cfg, carry, mod, mask, joint_key_mask, rope,
             (kv_ref[0], kv_ref[1], kv_text[0], kv_text[1]),
         )
         return out, out
 
     body_fn = jax.checkpoint(body) if cfg.remat else body
-    x, feats = lax.scan(body_fn, x, p["blocks"])
+    x, feats = lax.scan(body_fn, x, (p["blocks"], mods))
     x = _adaln_final(p["norm_out"], x, emb)
     return x, feats.transpose(1, 0, 2, 3)
 
@@ -296,11 +311,12 @@ def dit_forward_cached(
     rope = _rope_slice(cfg, x.shape[1])
     emb = _emb_proj(p["emb_proj"], time_embedding)
     joint_key_mask = jnp.concatenate([mask, ref_mask, phonemes_mask], axis=1)
+    mods = _all_block_modulations(p["blocks"], emb)
 
     def body(carry, scanned):
-        blk, kv = scanned
-        out = _block_core(blk, cfg, carry, emb, mask, joint_key_mask, rope, kv)
+        blk, mod, kv = scanned
+        out = _block_core(blk, cfg, carry, mod, mask, joint_key_mask, rope, kv)
         return out, None
 
-    x, _ = lax.scan(body, x, (p["blocks"], tuple(cached)))
+    x, _ = lax.scan(body, x, (p["blocks"], mods, tuple(cached)))
     return _adaln_final(p["norm_out"], x, emb)
