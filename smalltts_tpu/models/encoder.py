@@ -87,3 +87,25 @@ def encoder_block(p, cfg: EncoderConfig, x, mask, rope_cos, rope_sin):
     )
     x = x + _mlp(p["mlp"], nn.rmsnorm(p["mlp_norm"], x, cfg.norm_eps))
     return x
+
+
+def stack_blocks(blocks):
+    """List of per-block pytrees -> stacked leading-dim-L pytree for lax.scan
+    (same device-side layout trick as the DiT; compile cost is one block body
+    instead of num_layers unrolled copies)."""
+    import jax
+
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], axis=0), *blocks)
+
+
+def encoder_stack(stacked, cfg: EncoderConfig, x, mask, rope_cos, rope_sin):
+    """Run all layers via lax.scan over the stacked block params."""
+    import jax
+
+    def body(carry, blk):
+        return encoder_block(blk, cfg, carry, mask, rope_cos, rope_sin), None
+
+    x, _ = jax.lax.scan(body, x, stacked)
+    return x

@@ -15,7 +15,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from smalltts_tpu.models.encoder import EncoderConfig, encoder_block, init_encoder_block
+from smalltts_tpu.models.encoder import (
+    EncoderConfig,
+    encoder_stack,
+    init_encoder_block,
+    stack_blocks,
+)
 from smalltts_tpu.ops import nn
 from smalltts_tpu.ops.masking import length_mask
 from smalltts_tpu.ops.rope import rope_table_cos_sin
@@ -37,7 +42,9 @@ def init_style_encoder(
     return {
         "in_proj": nn.init_linear(ks[0], latent_dim, cfg.model_size, bias=True, dtype=dtype),
         "log_scale": jnp.asarray(-1.8, dtype),
-        "blocks": [init_encoder_block(ks[i + 1], cfg, dtype) for i in range(cfg.num_layers)],
+        "blocks": stack_blocks(
+            [init_encoder_block(ks[i + 1], cfg, dtype) for i in range(cfg.num_layers)]
+        ),
         "norm": nn.init_rmsnorm(cfg.model_size, dtype),
         "out_proj": nn.init_linear(ks[-1], cfg.model_size, out_dim, bias=True, dtype=dtype),
     }
@@ -55,9 +62,7 @@ def style_encoder(
     x = nn.linear(p["in_proj"], latents)
     x = x * jnp.exp(p["log_scale"]).astype(x.dtype)
     cos, sin = rope_table_cos_sin(t, cfg.head_dim)
-    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
-    for blk in p["blocks"]:
-        x = encoder_block(blk, cfg, x, mask, cos, sin)
+    x = encoder_stack(p["blocks"], cfg, x, mask, jnp.asarray(cos), jnp.asarray(sin))
     x = nn.rmsnorm(p["norm"], x, cfg.norm_eps)
     x = nn.linear(p["out_proj"], x)
     x = jnp.where(mask[..., None], x, 0.0)

@@ -11,7 +11,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from smalltts_tpu.models.encoder import EncoderConfig, encoder_block, init_encoder_block
+from smalltts_tpu.models.encoder import (
+    EncoderConfig,
+    encoder_stack,
+    init_encoder_block,
+    stack_blocks,
+)
 from smalltts_tpu.ops import nn
 from smalltts_tpu.ops.rope import rope_table_cos_sin
 
@@ -24,7 +29,9 @@ def init_text_encoder(key, vocab_size: int, cfg: EncoderConfig = TEXT_ENCODER_CO
     ks = jax.random.split(key, cfg.num_layers + 1)
     return {
         "text_embedding": nn.init_embedding(ks[0], vocab_size, cfg.model_size, dtype),
-        "blocks": [init_encoder_block(ks[i + 1], cfg, dtype) for i in range(cfg.num_layers)],
+        "blocks": stack_blocks(
+            [init_encoder_block(ks[i + 1], cfg, dtype) for i in range(cfg.num_layers)]
+        ),
         "norm": nn.init_rmsnorm(cfg.model_size, dtype),
     }
 
@@ -33,7 +40,5 @@ def text_encoder(p, input_ids: jax.Array, mask: jax.Array | None = None, cfg: En
     """(B, P) int ids, (B, P) bool mask -> (B, P, 512)."""
     x = nn.embedding(p["text_embedding"], input_ids)
     cos, sin = rope_table_cos_sin(input_ids.shape[1], cfg.head_dim)
-    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
-    for blk in p["blocks"]:
-        x = encoder_block(blk, cfg, x, mask, cos, sin)
+    x = encoder_stack(p["blocks"], cfg, x, mask, jnp.asarray(cos), jnp.asarray(sin))
     return nn.rmsnorm(p["norm"], x, cfg.norm_eps)

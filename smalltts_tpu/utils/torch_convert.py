@@ -135,12 +135,13 @@ def _count_blocks(sd, prefix: str) -> int:
 
 
 def convert_text_encoder_state_dict(sd: Dict[str, np.ndarray], prefix: str = ""):
-    """Standalone reference TextEncoder state_dict -> our pytree."""
+    """Standalone reference TextEncoder state_dict -> our pytree (blocks
+    stacked for lax.scan)."""
     p = (prefix + ".") if prefix else ""
     n = _count_blocks(sd, f"{p}blocks" if p else "blocks")
     return {
         "text_embedding": {"w": sd[f"{p}text_embedding.weight"]},
-        "blocks": [_encoder_block(sd, f"{p}blocks.{i}") for i in range(n)],
+        "blocks": _stack([_encoder_block(sd, f"{p}blocks.{i}") for i in range(n)]),
         "norm": _norm(sd, f"{p}norm"),
     }
 
@@ -151,7 +152,7 @@ def convert_style_encoder_state_dict(sd: Dict[str, np.ndarray], prefix: str = ""
     return {
         "in_proj": _lin(sd, f"{p}in_proj"),
         "log_scale": sd[f"{p}log_scale"],
-        "blocks": [_encoder_block(sd, f"{p}blocks.{i}") for i in range(n)],
+        "blocks": _stack([_encoder_block(sd, f"{p}blocks.{i}") for i in range(n)]),
         "norm": _norm(sd, f"{p}norm"),
         "out_proj": _lin(sd, f"{p}out_proj"),
     }
