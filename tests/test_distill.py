@@ -68,12 +68,12 @@ def test_distill_full_step():
     tx_sc = distill_optimizer(scorer)
     opt_s, opt_d, opt_sc = tx_s.init(student), tx_d.init(disc), tx_sc.init(scorer)
 
-    train_cfg = DistillConfig(scorer_updates=2, asr_start_step=0, sv_start_step=0)
+    train_cfg = DistillConfig(scorer_updates=1, asr_start_step=0, sv_start_step=0)
     student_step = make_student_step(
         TINY_BACKBONE, TINY_DISC, TINY_ASR64, TINY_SV64, tx_s, train_cfg
     )
     disc_step = make_disc_step(TINY_BACKBONE, TINY_DISC, tx_d)
-    scorer_step = make_scorer_step(TINY_BACKBONE, tx_sc, n_updates=2)
+    scorer_step = make_scorer_step(TINY_BACKBONE, tx_sc, n_updates=1)
 
     cfgd = DummyDataConfig(batch_size=2, max_phonemes=10, min_phonemes=4,
                            max_latents=16, min_latents=8, max_ref=8, min_ref=4)

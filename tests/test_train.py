@@ -38,7 +38,10 @@ def test_cfg_drops_zero_conditioning():
     np.testing.assert_array_equal(np.asarray(ph), np.asarray(batch["phonemes"]))
 
 
-def test_teacher_step_reduces_loss():
+def test_teacher_step_loss_decreases_and_nan_guard():
+    """One compiled step exercises both behaviors (loss decreases on a fixed
+    batch; a poisoned batch must not corrupt params) — sharing the ~30 s
+    compile."""
     params = init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE)
     tx, _ = teacher_optimizer(params, num_steps=100, warmup=1)
     opt_state = tx.init(params)
@@ -50,22 +53,12 @@ def test_teacher_step_reduces_loss():
     losses = []
     for i in range(8):
         # same batch+key: loss must decrease as params fit it
-        p_in = params
         params, opt_state, ema, loss = step(params, opt_state, ema, batch, key)
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
 
-
-def test_teacher_step_nan_guard():
-    """A poisoned batch (NaN latents) must not corrupt params."""
-    params = init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE)
-    tx, _ = teacher_optimizer(params, num_steps=100, warmup=1)
-    opt_state = tx.init(params)
-    ema = ema_init(params)
-    step = make_teacher_step(TINY_BACKBONE, tx)
-
-    batch = _tiny_batch()
+    # ---- NaN guard: poisoned batch leaves params untouched
     bad = dict(batch)
     bad["latents"] = batch["latents"].at[0, 0, 0].set(jnp.nan)
     before = jax.tree.map(lambda x: np.asarray(x).copy(), params)
