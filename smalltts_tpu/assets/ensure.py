@@ -44,15 +44,21 @@ def ensure_assets(folders: Iterable[str], root: str = ASSETS_ROOT) -> None:
             f"assets {missing} not present under {root!r} and huggingface_hub "
             "is unavailable; place weights manually"
         ) from exc
-    repo_type = _repo_type()
-    for folder in missing:
-        print(f"downloading assets/{folder} from {REPO} ({repo_type})")
-        snapshot_download(
-            REPO,
-            repo_type=repo_type,
-            local_dir=root,
-            allow_patterns=[f"{folder}/*"],
-        )
+    try:
+        repo_type = _repo_type()
+        for folder in missing:
+            print(f"downloading assets/{folder} from {REPO} ({repo_type})")
+            snapshot_download(
+                REPO,
+                repo_type=repo_type,
+                local_dir=root,
+                allow_patterns=[f"{folder}/*"],
+            )
+    except Exception as exc:  # zero-egress / offline environments
+        raise RuntimeError(
+            f"downloading assets {missing} from {REPO} failed ({exc}); "
+            "place weights manually or run offline"
+        ) from exc
 
 
 if __name__ == "__main__":
