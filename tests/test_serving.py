@@ -238,6 +238,67 @@ def test_socket_transport_health_and_402():
     run(scenario())
 
 
+def test_socket_synthesize_end_to_end():
+    """Full HTTP round-trip over a real socket: multipart wav+text in,
+    audio/wav out, through the tiny model + continuous batcher."""
+    import urllib.request
+
+    import jax
+
+    from tiny import TINY_BACKBONE, TINY_CODEC
+    from smalltts_tpu.infer.pipeline import SmallTTS
+    from smalltts_tpu.models.backbone import init_backbone
+    from smalltts_tpu.models.codec import init_codec
+
+    tts = SmallTTS(
+        init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE),
+        init_codec(jax.random.PRNGKey(1), TINY_CODEC),
+        cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
+    )
+    server = TTSServer(tts=tts, x402_cfg=X402Config(mode="disabled"),
+                       tokenizer=lambda text: [1, 2, 3])
+
+    async def scenario():
+        srv = await asyncio.start_server(server._serve_conn, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+
+        def request():
+            boundary = "XB"
+            wav = make_sine_wav(0.6)
+            body = (
+                f"--{boundary}\r\n"
+                'Content-Disposition: form-data; name="audio"\r\n\r\n'
+            ).encode() + wav + (
+                f"\r\n--{boundary}\r\n"
+                'Content-Disposition: form-data; name="text"\r\n\r\nhi\r\n'
+                f"--{boundary}--\r\n"
+            ).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/synthesize?duration=1.0",
+                data=body,
+                headers={"content-type": f"multipart/form-data; boundary={boundary}"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                assert resp.status == 200
+                assert resp.headers["content-type"] == "audio/wav"
+                out = resp.read()
+            samples, sr = decode_wav(out)
+            assert sr == 24_000 and samples.shape[1] == 8 * 3200
+            # stats endpoint reflects the request
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as resp:
+                stats = json.loads(resp.read())
+            assert stats["requests"] == 1 and stats["synth_ms_p50"] > 0
+
+        loop = asyncio.get_running_loop()
+        await loop.run_in_executor(None, request)
+        srv.close()
+        await srv.wait_closed()
+
+    run(scenario())
+    if server._batcher:
+        server._batcher.close()
+
+
 def test_batcher_groups_by_bucket():
     from smalltts_tpu.serving.batcher import Request, group_requests, pad_group
 
