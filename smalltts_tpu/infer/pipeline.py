@@ -78,7 +78,17 @@ class SmallTTS:
         num_steps: int = NUM_STEPS,
         seed: int = 0,
         mesh=None,
+        codec="auto",
     ) -> None:
+        """`codec` selects the codec backend:
+        - "native": the fast sub-pixel JAX codec (models/codec.py) — serving
+          default;
+        - "onnx" or an `onnxjax.codec.OnnxCodec` instance: the reference
+          VibeVoice codec imported from assets/codec/*.onnx — weight-exact
+          with the reference's published voices;
+        - "auto": "onnx" when the ONNX assets are present AND no native
+          codec weights were passed, else "native".
+        """
         self.cfg = cfg or BackboneConfig()
         self.codec_cfg = codec_cfg or CodecConfig()
         self.num_steps = num_steps
@@ -102,7 +112,23 @@ class SmallTTS:
                 backbone_params = jax.jit(
                     lambda k: init_backbone(k, self.cfg)
                 )(jax.random.PRNGKey(seed))
-        if codec_params is None:
+        # ---- codec backend selection
+        from smalltts_tpu.onnxjax.codec import OnnxCodec, assets_present
+
+        self.onnx_codec = None
+        if isinstance(codec, OnnxCodec):
+            self.onnx_codec = codec
+        elif codec == "onnx":
+            self.onnx_codec = OnnxCodec()
+        elif codec == "auto":
+            if codec_params is None and codec_checkpoint is None and assets_present():
+                self.onnx_codec = OnnxCodec()
+        elif codec != "native":
+            raise ValueError(f"codec must be 'native'/'onnx'/'auto'/OnnxCodec, got {codec!r}")
+
+        if self.onnx_codec is not None:
+            codec_params = self.onnx_codec.params
+        elif codec_params is None:
             if codec_checkpoint:
                 codec_params = ckpt.load_pytree(codec_checkpoint)
             else:
@@ -122,11 +148,18 @@ class SmallTTS:
             self.codec_params = jax.device_put(
                 ckpt.cast_floating(codec_params, jnp.float32)
             )
-        self._synthesize_fn = make_synthesize_fn(self.cfg, self.codec_cfg, num_steps)
+        if self.onnx_codec is not None:
+            decode_fn = self.onnx_codec.decode_fn
+            self._encode_fn = jax.jit(self.onnx_codec.encode_fn)
+            self._decode_fn = jax.jit(decode_fn)
+        else:
+            decode_fn = None
+            self._encode_fn = jax.jit(partial(codec_encode, cfg=self.codec_cfg))
+            self._decode_fn = jax.jit(partial(codec_decode, cfg=self.codec_cfg))
+        self._synthesize_fn = make_synthesize_fn(
+            self.cfg, self.codec_cfg, num_steps, decode_fn=decode_fn
+        )
         self._key = jax.random.PRNGKey(seed + 2)
-
-        self._encode_fn = jax.jit(partial(codec_encode, cfg=self.codec_cfg))
-        self._decode_fn = jax.jit(partial(codec_decode, cfg=self.codec_cfg))
         self._cond_fn = jax.jit(partial(self._cond_encode))
         self._denoise_fn = jax.jit(
             partial(self._denoise_loop), static_argnames=("t_bucket",)

@@ -104,12 +104,20 @@ def make_synthesize_fn(
     cfg: BackboneConfig,
     codec_cfg: CodecConfig,
     num_steps: int = NUM_STEPS,
+    decode_fn=None,
 ):
     """Build the fused synthesize graph: (params, codec_params, inputs) -> waveform.
 
     Shapes are static per call signature; jit caches one executable per
     (batch, ref bucket, phoneme bucket, latent bucket) combination.
+
+    `decode_fn(codec_params, latents) -> audio` selects the codec backend:
+    the native sub-pixel codec by default, or the imported VibeVoice ONNX
+    decoder (onnxjax.codec.OnnxCodec.decode_fn) — either fuses into the same
+    XLA program.
     """
+    if decode_fn is None:
+        decode_fn = lambda cp, lat: codec_decode(cp, lat, codec_cfg)  # noqa: E731
 
     @partial(jax.jit, static_argnames=("t_bucket",))
     def synthesize(
@@ -128,7 +136,7 @@ def make_synthesize_fn(
         latents = _sample_loop(
             params, cfg, cond, seq_lengths, t_bucket, key, num_steps, None
         )
-        audio = codec_decode(codec_params, latents.astype(jnp.float32), codec_cfg)
+        audio = decode_fn(codec_params, latents.astype(jnp.float32))
         return audio  # (B, 1, t_bucket * hop)
 
     return synthesize

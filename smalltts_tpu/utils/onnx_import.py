@@ -1,49 +1,36 @@
-"""Gated ONNX weight importer (for the published VibeVoice codec assets).
+"""ONNX weight/topology inspection helpers (thin wrappers over onnxjax).
 
 The reference consumes the codec as opaque ONNX graphs downloaded from HF
-(reference: src/smalltts/codec/onnx.py:34-85; assets/codec/*.onnx). Our codec
-is a native JAX model (models/codec.py); when the ONNX assets are available
-this module extracts their initializers so conversion tooling can map weights
-into a matching pytree. Requires the `onnx` package (not in this image —
-functions raise a clear error instead of failing at import time).
+(reference: src/smalltts/codec/onnx.py:34-85; assets/codec/*.onnx). Round 1
+gated these helpers on the absent `onnx` package; they now run everywhere on
+the in-repo pure-Python parser (smalltts_tpu.onnxjax.proto). For actually
+*running* the graphs in JAX use `smalltts_tpu.onnxjax.codec.OnnxCodec`.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import numpy as np
 
-
-def _require_onnx():
-    try:
-        import onnx  # noqa: F401
-
-        return onnx
-    except ImportError as exc:
-        raise RuntimeError(
-            "ONNX import requires the `onnx` package; install it or convert "
-            "weights offline with scripts/test_checkpoint.py tooling"
-        ) from exc
+from smalltts_tpu.onnxjax.proto import load_model, tensor_to_numpy
 
 
 def load_initializers(path: str) -> Dict[str, np.ndarray]:
     """ONNX graph -> {initializer name: numpy array}."""
-    onnx = _require_onnx()
-    from onnx import numpy_helper
-
-    model = onnx.load(path)
+    model = load_model(path)
+    base = os.path.dirname(path) or "."
     return {
-        init.name: numpy_helper.to_array(init)
-        for init in model.graph.initializer
+        init.name: tensor_to_numpy(init, base)
+        for init in model.graph.initializers
     }
 
 
 def describe_graph(path: str) -> str:
     """Human-readable op/shape summary (to reconstruct architectures)."""
-    onnx = _require_onnx()
-    model = onnx.load(path)
+    model = load_model(path)
     lines = []
-    for node in model.graph.node:
-        lines.append(f"{node.op_type}: {list(node.input)} -> {list(node.output)}")
+    for node in model.graph.nodes:
+        lines.append(f"{node.op_type}: {list(node.inputs)} -> {list(node.outputs)}")
     return "\n".join(lines)
