@@ -68,7 +68,11 @@ class EspeakBackend:
         out: List[str] = []
         data = ctypes.c_char_p(text.encode("utf-8"))
         ptr = ctypes.c_void_p(ctypes.cast(data, ctypes.c_void_p).value)
-        mode = self._espeakPHONEMES_IPA | (ord(" ") << 8)  # IPA, space-separated
+        # IPA with NO phoneme separator (high byte 0): phones concatenate
+        # within a word, words stay space-separated — the phonemizer
+        # library's output shape the reference trained on (a separator here
+        # would double the token stream with inter-phone spaces).
+        mode = self._espeakPHONEMES_IPA
         while ptr.value:
             res = self._lib.espeak_TextToPhonemes(
                 ctypes.byref(ptr), self._espeakCHARS_UTF8, mode
