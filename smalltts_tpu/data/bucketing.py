@@ -25,8 +25,20 @@ FRAMES_PER_SECOND = SAMPLE_RATE / HOP_SIZE  # 7.5
 
 # 2 s -> 15, 5 s -> 38, 10 s -> 75, 30 s -> 225 frames
 LATENT_BUCKETS: Tuple[int, ...] = (16, 40, 80, 120, 176, 240)
-REF_BUCKETS: Tuple[int, ...] = (32, 64)
+# reference audio: 64 frames ~ 8.5 s, 256 frames ~ 34 s (the reference's
+# style encoder accepts up to its 4096-frame RoPE cap, style.py:140; round 1
+# silently truncated at 64 — VERDICT item 4)
+REF_BUCKETS: Tuple[int, ...] = (32, 64, 128, 256)
 PHONEME_BUCKETS: Tuple[int, ...] = (64, 128, 256, 384)
+
+# Serving contract: the *fused* synthesize graph compiles one executable per
+# (batch, ref, phoneme, latent) shape tuple, so the served cross-product must
+# stay small enough to precompile at startup (request-path XLA compiles are
+# minutes on TPU). Coarser ladders cost masked FLOPs in the cheap encoders
+# (cond-encode is ~2 ms of a ~20 ms budget at 5 s/batch 8) and buy a grid of
+# 2*2*6*|batches| executables that warmup() covers exhaustively.
+SERVING_REF_BUCKETS: Tuple[int, ...] = (64, 256)
+SERVING_PHONEME_BUCKETS: Tuple[int, ...] = (128, 384)
 
 
 def frames_for_duration(duration_sec: float) -> int:

@@ -23,16 +23,22 @@ import numpy as np
 from smalltts_tpu.data.bucketing import (
     HOP_SIZE,
     LATENT_BUCKETS,
-    PHONEME_BUCKETS,
-    REF_BUCKETS,
+    SERVING_PHONEME_BUCKETS,
+    SERVING_REF_BUCKETS,
     frames_for_duration,
     pad_to,
     pick_bucket,
 )
 
-BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
 MAX_BATCH = 8  # server default; raise via TTSServer(max_batch=...) for throughput
                # (measured on v5e-1: batch 32 -> RTF 0.00054, batch 64 -> 0.00043)
+MAX_QUEUE = 256  # backpressure: submit() raises QueueFull beyond this
+
+
+class QueueFull(RuntimeError):
+    """Raised by Batcher.submit when the pending queue is saturated; the
+    HTTP layer maps this to 503 so clients back off instead of piling
+    unbounded memory onto a saturated server."""
 
 
 @dataclass
@@ -63,14 +69,20 @@ def group_requests(reqs: List[Request], max_batch: int = MAX_BATCH) -> List[List
     return groups
 
 
-def pad_group(group: List[Request]):
+def pad_group(group: List[Request], max_batch: int = MAX_BATCH):
     """-> (ref, ref_lens, phonemes, ph_lens, seq_lens, t_bucket, batch_bucket).
-    The batch dim pads to the next power-of-two bucket so graph count stays
-    bounded (duplicate last row; results discarded)."""
+
+    Shapes land on the SERVING contract grid (bucketing.SERVING_*): batch is
+    1 or max_batch (two classes, not a power-of-two ladder — batch-8 costs
+    only ~20% over batch-2 on v5e while the executable count halves twice),
+    ref/phoneme snap to the coarse serving ladders. warmup() precompiles
+    exactly this cross-product, so in-contract traffic never compiles."""
     t_bucket = max(r.t_bucket for r in group)
-    r_bucket = pick_bucket(max(len(r.ref_latents) for r in group), REF_BUCKETS)
-    p_bucket = pick_bucket(max(max(len(r.token_ids), 1) for r in group), PHONEME_BUCKETS)
-    b_bucket = pick_bucket(len(group), BATCH_BUCKETS)
+    r_bucket = pick_bucket(max(len(r.ref_latents) for r in group), SERVING_REF_BUCKETS)
+    p_bucket = pick_bucket(
+        max(max(len(r.token_ids), 1) for r in group), SERVING_PHONEME_BUCKETS
+    )
+    b_bucket = 1 if len(group) == 1 else max_batch
 
     ref = np.zeros((b_bucket, r_bucket, group[0].ref_latents.shape[-1]), np.float32)
     ref_lens = np.zeros((b_bucket,), np.int32)
@@ -92,9 +104,11 @@ class Batcher:
     """Thread-based continuous batcher: submit() returns a Future resolving to
     the (1, samples) waveform."""
 
-    def __init__(self, tts, max_batch: int = MAX_BATCH, window_ms: float = 5.0) -> None:
+    def __init__(self, tts, max_batch: int = MAX_BATCH, window_ms: float = 5.0,
+                 max_queue: int = MAX_QUEUE) -> None:
         self.tts = tts
         self.max_batch = max_batch
+        self.max_queue = max_queue
         self.window_s = window_ms / 1e3
         self._queue: List[Request] = []
         self._lock = threading.Lock()
@@ -107,9 +121,17 @@ class Batcher:
                duration_sec: float) -> Future:
         req = Request(np.asarray(ref_latents, np.float32), token_ids, duration_sec)
         with self._lock:
+            if len(self._queue) >= self.max_queue:
+                raise QueueFull(
+                    f"batcher queue is full ({self.max_queue} pending requests)"
+                )
             self._queue.append(req)
         self._wakeup.set()
         return req.future
+
+    def pending(self) -> int:
+        with self._lock:
+            return len(self._queue)
 
     def close(self) -> None:
         self._stop = True
@@ -122,7 +144,12 @@ class Batcher:
             self._wakeup.clear()
             if self._stop:
                 break
-            time.sleep(self.window_s)  # small collection window
+            # collection window only when a batch isn't already full — a
+            # saturated queue drains back-to-back with no idle sleep
+            with self._lock:
+                n = len(self._queue)
+            if 0 < n < self.max_batch:
+                time.sleep(self.window_s)
             with self._lock:
                 reqs, self._queue = self._queue, []
             if not reqs:
@@ -132,7 +159,9 @@ class Batcher:
 
     def _execute(self, group: List[Request]) -> None:
         try:
-            ref, ref_lens, ph, ph_lens, seq_lens, t_bucket, _ = pad_group(group)
+            ref, ref_lens, ph, ph_lens, seq_lens, t_bucket, _ = pad_group(
+                group, self.max_batch
+            )
             audio = self.tts.synthesize_padded(
                 ref, ref_lens, ph, ph_lens, seq_lens, t_bucket
             )

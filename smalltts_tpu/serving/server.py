@@ -26,6 +26,10 @@ from typing import Callable, Dict, Optional
 from smalltts_tpu.serving.x402 import X402Config, X402Gate
 
 BODY_LIMIT = 2 * 1024 * 1024  # main.rs:81
+HEADER_LIMIT = 16 * 1024      # total request-line + header bytes per request
+MAX_HEADERS = 100
+READ_TIMEOUT_S = 30.0         # stalled clients can't pin a connection slot
+STATS_WINDOW = 1024           # synth_ms ring buffer (was unbounded, VERDICT)
 
 CORS_HEADERS = [
     ("access-control-allow-origin", "*"),
@@ -49,7 +53,10 @@ def _audio_backend():
 @dataclass
 class ServerStats:
     requests: int = 0
-    synth_ms: list = field(default_factory=list)
+    rejected: int = 0  # 503s from batcher backpressure
+    synth_ms: "object" = field(
+        default_factory=lambda: __import__("collections").deque(maxlen=STATS_WINDOW)
+    )
 
 
 class TTSServer:
@@ -59,8 +66,10 @@ class TTSServer:
         x402_cfg: Optional[X402Config] = None,
         tokenizer: Optional[Callable] = None,
         max_batch: int = 8,
+        read_timeout_s: float = READ_TIMEOUT_S,
     ) -> None:
         self._tts = tts
+        self.read_timeout_s = read_timeout_s
         self.gate = X402Gate(x402_cfg)
         self.stats = ServerStats()
         self.audio = _audio_backend()
@@ -102,6 +111,8 @@ class TTSServer:
                 [("content-type", "application/json"), *CORS_HEADERS],
                 json.dumps(
                     {"requests": self.stats.requests,
+                     "rejected": self.stats.rejected,
+                     "pending": self._batcher.pending() if self._batcher else 0,
                      "synth_ms_p50": round(p50, 2),
                      "synth_ms_p95": round(p95, 2)}
                 ).encode(),
@@ -154,6 +165,8 @@ class TTSServer:
             return 500, list(CORS_HEADERS), f"phonemize failed: {exc}".encode()
 
         t0 = time.perf_counter()
+        from smalltts_tpu.serving.batcher import QueueFull
+
         try:
             # pipeline construction can compile for minutes — never block the
             # event loop (use server --warmup to pay this at startup)
@@ -163,6 +176,13 @@ class TTSServer:
             )
             fut = batcher.submit(ref_latents, token_ids, duration)
             audio = await asyncio.wrap_future(fut)
+        except QueueFull:
+            self.stats.rejected += 1
+            return (
+                503,
+                [("retry-after", "1"), *CORS_HEADERS],
+                b"server saturated, retry later",
+            )
         except Exception as exc:
             return 500, list(CORS_HEADERS), f"inference failed: {exc}".encode()
         self.stats.requests += 1
@@ -177,25 +197,55 @@ class TTSServer:
                           writer: asyncio.StreamWriter) -> None:
         try:
             while True:
-                request_line = await reader.readline()
+                # keep-alive idle wait uses the same bound as in-request
+                # reads: a stalled or silent client frees its slot
+                request_line = await asyncio.wait_for(
+                    reader.readline(), self.read_timeout_s
+                )
                 if not request_line:
+                    break
+                if len(request_line) > HEADER_LIMIT:
+                    await self._respond(writer, 431, list(CORS_HEADERS),
+                                        b"request line too long")
                     break
                 try:
                     method, target, _version = request_line.decode().split()
                 except ValueError:
                     break
                 headers: Dict[str, str] = {}
+                header_bytes = len(request_line)
+                too_big = False
                 while True:
-                    line = await reader.readline()
+                    line = await asyncio.wait_for(
+                        reader.readline(), self.read_timeout_s
+                    )
                     if line in (b"\r\n", b"\n", b""):
                         break
-                    k, _, v = line.decode().partition(":")
+                    header_bytes += len(line)
+                    if header_bytes > HEADER_LIMIT or len(headers) >= MAX_HEADERS:
+                        too_big = True
+                        break
+                    k, _, v = line.decode("latin-1").partition(":")
                     headers[k.strip().lower()] = v.strip()
-                length = int(headers.get("content-length", 0))
+                if too_big:
+                    await self._respond(writer, 431, list(CORS_HEADERS),
+                                        b"headers too large")
+                    break
+                try:
+                    length = int(headers.get("content-length", 0))
+                except ValueError:
+                    await self._respond(writer, 400, list(CORS_HEADERS),
+                                        b"bad content-length")
+                    break
                 if length > BODY_LIMIT:
                     await self._respond(writer, 413, list(CORS_HEADERS), b"body too large")
                     break
-                body = await reader.readexactly(length) if length else b""
+                body = (
+                    await asyncio.wait_for(reader.readexactly(length),
+                                           self.read_timeout_s)
+                    if length
+                    else b""
+                )
                 parsed = urllib.parse.urlsplit(target)
                 query = dict(urllib.parse.parse_qsl(parsed.query))
                 status, hdrs, payload = await self.handle(
@@ -204,7 +254,8 @@ class TTSServer:
                 await self._respond(writer, status, hdrs, payload)
                 if headers.get("connection", "").lower() == "close":
                     break
-        except (asyncio.IncompleteReadError, ConnectionResetError):
+        except (asyncio.IncompleteReadError, ConnectionResetError,
+                asyncio.TimeoutError):
             pass
         finally:
             writer.close()
@@ -213,7 +264,9 @@ class TTSServer:
     async def _respond(writer, status: int, headers, body: bytes) -> None:
         reason = {200: "OK", 400: "Bad Request", 402: "Payment Required",
                   404: "Not Found", 413: "Payload Too Large",
-                  500: "Internal Server Error"}.get(status, "")
+                  431: "Request Header Fields Too Large",
+                  500: "Internal Server Error",
+                  503: "Service Unavailable"}.get(status, "")
         lines = [f"HTTP/1.1 {status} {reason}"]
         lines += [f"{k}: {v}" for k, v in headers]
         lines.append(f"content-length: {len(body)}")
@@ -239,8 +292,17 @@ def main() -> None:
                     choices=["disabled", "trust", "facilitator"])
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--warmup", action="store_true",
-                    help="precompile model + serving bucket grid before listening")
+                    help="precompile the FULL serving shape contract before "
+                         "listening (no request ever compiles)")
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--compile-cache", default="~/.cache/smalltts_tpu/xla",
+                    help="persistent XLA compilation cache dir ('' disables)")
     args = ap.parse_args()
+
+    if args.compile_cache:
+        from smalltts_tpu.infer.pipeline import enable_compilation_cache
+
+        print(f"compilation cache: {enable_compilation_cache(args.compile_cache)}")
 
     tts = None
     if args.checkpoint or args.warmup:
@@ -248,9 +310,11 @@ def main() -> None:
 
         tts = SmallTTS(checkpoint=args.checkpoint)
         if args.warmup:
-            print("warming up serving graphs...")
-            tts.warmup()
-    srv = TTSServer(tts=tts, x402_cfg=X402Config(mode=args.payments))
+            print("warming up the serving shape contract...")
+            n = tts.warmup(batch_sizes=(1, args.max_batch), progress=True)
+            print(f"warmed {n} executables; in-contract requests never compile")
+    srv = TTSServer(tts=tts, x402_cfg=X402Config(mode=args.payments),
+                    max_batch=args.max_batch)
     asyncio.run(srv.run(args.host, args.port))
 
 

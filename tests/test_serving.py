@@ -306,6 +306,11 @@ def test_batcher_groups_by_bucket():
     groups = group_requests(reqs)
     buckets = sorted(max(r.t_bucket for r in g) for g in groups)
     assert buckets == [16, 80]  # 1.0/1.1s share a bucket; 9s separate
-    ref, ref_lens, ph, ph_lens, seq_lens, t_bucket, b_bucket = pad_group(groups[0])
-    assert ref.shape[0] == b_bucket == 2
+    # multi-request groups pad the batch dim to max_batch (two batch classes
+    # — 1 and max_batch — keep the warmup contract small)
+    ref, ref_lens, ph, ph_lens, seq_lens, t_bucket, b_bucket = pad_group(
+        groups[0], max_batch=8
+    )
+    assert ref.shape[0] == b_bucket == 8
     assert t_bucket == 16
+    assert ref.shape[1] == 64  # smallest SERVING_REF_BUCKET

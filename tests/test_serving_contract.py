@@ -1,0 +1,322 @@
+"""Serving shape contract + server hardening (VERDICT round-1 items 3, 4, 9).
+
+The core invariant: after `SmallTTS.warmup()`, NO in-contract request can
+trigger an XLA compile in the request path (compiles are minutes on TPU).
+Proven two ways: a pure shape-coverage sweep over the batcher's padding
+logic, and a compile-counting integration test on a tiny model.
+"""
+
+import socket
+import threading
+import time
+import warnings
+from concurrent.futures import Future
+
+import numpy as np
+import pytest
+
+from smalltts_tpu.data.bucketing import (
+    LATENT_BUCKETS,
+    SERVING_PHONEME_BUCKETS,
+    SERVING_REF_BUCKETS,
+)
+from smalltts_tpu.serving.batcher import (
+    Batcher,
+    QueueFull,
+    Request,
+    group_requests,
+    pad_group,
+)
+
+# ------------------------------------------------------- contract coverage
+
+
+def test_pad_group_shapes_always_in_contract():
+    """Whatever mix of requests arrives, pad_group lands on the warmup
+    grid: batch in {1, max_batch}, r/p on the serving ladders, t on
+    LATENT_BUCKETS."""
+    rng = np.random.RandomState(0)
+    max_batch = 8
+    contract = {
+        (b, r, p, t)
+        for b in (1, max_batch)
+        for r in SERVING_REF_BUCKETS
+        for p in SERVING_PHONEME_BUCKETS
+        for t in LATENT_BUCKETS
+    }
+    for trial in range(200):
+        n = rng.randint(1, 20)
+        reqs = [
+            Request(
+                np.zeros((rng.randint(1, 400), 64), np.float32),
+                [1] * rng.randint(1, 500),
+                float(rng.uniform(0.2, 35.0)),
+            )
+            for _ in range(n)
+        ]
+        for group in group_requests(reqs, max_batch):
+            ref, _, ph, _, seq_lens, t_bucket, b_bucket = pad_group(group, max_batch)
+            shape = (b_bucket, ref.shape[1], ph.shape[1], t_bucket)
+            assert shape in contract, f"off-contract shape {shape} (trial {trial})"
+            assert (seq_lens >= 1).all() and (seq_lens <= t_bucket).all()
+
+
+def test_no_compile_after_warmup():
+    """Compile-count integration: warm a sub-grid, serve in-contract
+    requests, assert the jit cache does not grow."""
+    import jax
+
+    from smalltts_tpu.infer.pipeline import SmallTTS
+    from smalltts_tpu.models.backbone import init_backbone
+    from smalltts_tpu.models.codec import init_codec
+    from tests.tiny import TINY_BACKBONE, TINY_CODEC
+
+    tts = SmallTTS(
+        init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE),
+        init_codec(jax.random.PRNGKey(1), TINY_CODEC),
+        cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
+    )
+    n = tts.warmup(
+        batch_sizes=(1, 2), t_buckets=(16,), r_buckets=(64,), p_buckets=(128,)
+    )
+    warmed = tts.compile_cache_size()
+    assert warmed == n == 2
+
+    batcher = Batcher(tts, max_batch=2)
+    try:
+        # single request -> batch class 1; two concurrent -> batch class 2;
+        # varying TRUE lengths must all reuse the warmed executables
+        for ref_len, tok_len, dur in [(8, 3, 1.0), (40, 90, 2.0), (64, 128, 2.1)]:
+            fut = batcher.submit(np.zeros((ref_len, 64), np.float32),
+                                 [1] * tok_len, dur)
+            fut.result(timeout=60)
+        futs = [
+            batcher.submit(np.zeros((10, 64), np.float32), [1, 2, 3], 1.5)
+            for _ in range(2)
+        ]
+        for f in futs:
+            f.result(timeout=60)
+    finally:
+        batcher.close()
+    assert tts.compile_cache_size() == warmed, (
+        "request-path XLA compile detected: an in-contract request shape "
+        "was not covered by warmup()"
+    )
+
+
+def test_contract_shapes_matches_default_grid():
+    from smalltts_tpu.infer.pipeline import SmallTTS
+
+    shapes = SmallTTS.contract_shapes(object())  # self unused
+    assert len(shapes) == 2 * len(SERVING_REF_BUCKETS) * len(
+        SERVING_PHONEME_BUCKETS
+    ) * len(LATENT_BUCKETS)
+
+
+# ----------------------------------------------------- long-reference path
+
+
+def test_long_reference_no_longer_truncated_at_64():
+    reqs = [Request(np.ones((150, 64), np.float32), [1], 1.0)]
+    ref, ref_lens, *_ = pad_group(reqs, 8)
+    assert ref.shape[1] == 256
+    assert ref_lens[0] == 150  # full reference survives (round 1: cut to 64)
+
+
+def test_bucketize_warns_beyond_largest_bucket():
+    import jax
+
+    from smalltts_tpu.infer.pipeline import SmallTTS
+    from smalltts_tpu.models.backbone import init_backbone
+    from smalltts_tpu.models.codec import init_codec
+    from tests.tiny import TINY_BACKBONE, TINY_CODEC
+
+    tts = SmallTTS(
+        init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE),
+        init_codec(jax.random.PRNGKey(1), TINY_CODEC),
+        cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, ref_len, *_ = tts._bucketize(np.zeros((300, 64), np.float32), [1], 1.0)
+    assert ref_len == 256
+    assert any("truncating" in str(x.message) for x in w)
+    # in-range refs warn nothing
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, ref_len, *_ = tts._bucketize(np.zeros((100, 64), np.float32), [1], 1.0)
+    assert ref_len == 100
+    assert not w
+
+
+# ------------------------------------------------------------ backpressure
+
+
+class _SlowTTS:
+    """Stand-in pipeline: block until released, return zeros."""
+
+    def __init__(self):
+        self.release = threading.Event()
+        self.calls = 0
+
+    def synthesize_padded(self, ref, ref_lens, ph, ph_lens, seq_lens, t_bucket,
+                          key=None, fetch=True):
+        self.release.wait(timeout=30)
+        self.calls += 1
+        return np.zeros((ref.shape[0], 1, int(t_bucket) * 3200), np.float32)
+
+
+def test_queue_cap_raises_queue_full():
+    tts = _SlowTTS()
+    b = Batcher(tts, max_batch=4, max_queue=5)
+    try:
+        futs = []
+        with pytest.raises(QueueFull):
+            for _ in range(500):
+                futs.append(b.submit(np.zeros((4, 64), np.float32), [1], 1.0))
+        assert b.pending() <= 5  # cap held at the moment of rejection
+        tts.release.set()
+        for f in futs:
+            assert f.result(timeout=30).shape[0] == 1
+    finally:
+        tts.release.set()
+        b.close()
+
+
+def test_saturation_stress_all_requests_complete():
+    """Hundreds of concurrent submissions: every future either resolves or
+    was rejected with QueueFull; nothing hangs, queue stays bounded."""
+
+    class _FastTTS:
+        def synthesize_padded(self, ref, ref_lens, ph, ph_lens, seq_lens,
+                              t_bucket, key=None, fetch=True):
+            time.sleep(0.001)
+            return np.zeros((ref.shape[0], 1, int(t_bucket) * 3200), np.float32)
+
+    b = Batcher(_FastTTS(), max_batch=8, max_queue=64, window_ms=1.0)
+    results = {"ok": 0, "rejected": 0}
+    lock = threading.Lock()
+
+    def client(n):
+        rng = np.random.RandomState(n)
+        for _ in range(40):
+            try:
+                fut = b.submit(
+                    np.zeros((rng.randint(1, 80), 64), np.float32),
+                    [1] * rng.randint(1, 50),
+                    float(rng.uniform(0.3, 12.0)),
+                )
+                fut.result(timeout=30)
+                with lock:
+                    results["ok"] += 1
+            except QueueFull:
+                with lock:
+                    results["rejected"] += 1
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive(), "client thread hung"
+    b.close()
+    assert results["ok"] + results["rejected"] == 8 * 40
+    assert results["ok"] > 0
+
+
+# -------------------------------------------------------- stats ring buffer
+
+
+def test_stats_ring_buffer_bounded():
+    from smalltts_tpu.serving.server import STATS_WINDOW, ServerStats
+
+    s = ServerStats()
+    for i in range(STATS_WINDOW * 3):
+        s.synth_ms.append(float(i))
+    assert len(s.synth_ms) == STATS_WINDOW
+    assert s.synth_ms[0] == float(STATS_WINDOW * 2)  # oldest rolled off
+
+
+# ------------------------------------------------------- transport limits
+
+
+def _start_server(server):
+    import asyncio
+
+    loop = asyncio.new_event_loop()
+    ready = threading.Event()
+    holder = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def main():
+            srv = await asyncio.start_server(server._serve_conn, "127.0.0.1", 0)
+            holder["port"] = srv.sockets[0].getsockname()[1]
+            ready.set()
+            async with srv:
+                await srv.serve_forever()
+
+        try:
+            loop.run_until_complete(main())
+        except Exception:
+            pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert ready.wait(timeout=10)
+    return holder["port"], loop
+
+
+def test_stalled_client_connection_times_out():
+    from smalltts_tpu.serving.server import TTSServer
+    from smalltts_tpu.serving.x402 import X402Config
+
+    server = TTSServer(x402_cfg=X402Config(mode="disabled"), read_timeout_s=0.4)
+    port, loop = _start_server(server)
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s.sendall(b"GET /health HTTP/1.1\r\nhost: x\r\npartial-head")  # never finishes
+        s.settimeout(5)
+        t0 = time.time()
+        data = s.recv(4096)  # server must CLOSE, not hang
+        assert data == b"", f"expected close, got {data!r}"
+        assert time.time() - t0 < 4.0
+        s.close()
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
+
+
+def test_oversized_headers_rejected_431():
+    from smalltts_tpu.serving.server import TTSServer
+    from smalltts_tpu.serving.x402 import X402Config
+
+    server = TTSServer(x402_cfg=X402Config(mode="disabled"))
+    port, loop = _start_server(server)
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        big = b"x-filler: " + b"a" * 20_000 + b"\r\n"
+        s.sendall(b"GET /health HTTP/1.1\r\n" + big + b"\r\n")
+        s.settimeout(5)
+        resp = s.recv(65536)
+        assert b"431" in resp.split(b"\r\n")[0]
+        s.close()
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
+
+
+def test_bad_content_length_rejected_400():
+    from smalltts_tpu.serving.server import TTSServer
+    from smalltts_tpu.serving.x402 import X402Config
+
+    server = TTSServer(x402_cfg=X402Config(mode="disabled"))
+    port, loop = _start_server(server)
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s.sendall(b"POST /synthesize HTTP/1.1\r\ncontent-length: banana\r\n\r\n")
+        s.settimeout(5)
+        resp = s.recv(65536)
+        assert b"400" in resp.split(b"\r\n")[0]
+        s.close()
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
