@@ -188,8 +188,28 @@ class TTSServer:
         self.stats.requests += 1
         self.stats.synth_ms.append((time.perf_counter() - t0) * 1e3)
 
+        extra_headers = []
+        if self.gate.settles:
+            # capture-after-serve (reference x402-axum order: verify ->
+            # handler -> settle; failed capture returns 402, main.rs:60-79)
+            receipt = await loop.run_in_executor(
+                None, self.gate.settle, headers.get("x-payment", ""), duration
+            )
+            if receipt is None:
+                _, challenge = self.gate.check({}, duration, "/synthesize")
+                return (
+                    402,
+                    [("payment-required", challenge), *CORS_HEADERS],
+                    b"payment settlement failed",
+                )
+            extra_headers.append(("x-payment-response", receipt))
+
         wav = self.audio.encode_wav(audio.reshape(-1), 24_000)
-        return 200, [("content-type", "audio/wav"), *CORS_HEADERS], wav
+        return (
+            200,
+            [("content-type", "audio/wav"), *extra_headers, *CORS_HEADERS],
+            wav,
+        )
 
     # ------------------------------------------------------------ transport
 

@@ -93,31 +93,60 @@ class X402Gate:
             return True, None
         return False, self.payment_required_header(duration_sec, resource)
 
-    def _verify_with_facilitator(self, payment_b64: str, duration_sec: float) -> bool:
+    def _facilitator_body(self, payment_b64: str, duration_sec: float) -> bytes:
+        """The /verify and /settle request body (x402 v1 facilitator API):
+        {x402Version, paymentPayload, paymentRequirements}."""
+        payload = json.loads(base64.b64decode(payment_b64))
+        return json.dumps(
+            {
+                "x402Version": 1,
+                "paymentPayload": payload,
+                "paymentRequirements": json.loads(
+                    base64.b64decode(
+                        self.payment_required_header(duration_sec, "/synthesize")
+                    )
+                )["accepts"][0],
+            }
+        ).encode()
+
+    def _facilitator_post(self, endpoint: str, payment_b64: str,
+                          duration_sec: float) -> Optional[dict]:
         import urllib.request
 
         try:
-            payload = json.loads(base64.b64decode(payment_b64))
-            body = json.dumps(
-                {
-                    "x402Version": 1,
-                    "paymentPayload": payload,
-                    "paymentRequirements": json.loads(
-                        base64.b64decode(
-                            self.payment_required_header(duration_sec, "/synthesize")
-                        )
-                    )["accepts"][0],
-                }
-            ).encode()
             req = urllib.request.Request(
-                f"{self.cfg.facilitator_url}/verify",
-                data=body,
+                f"{self.cfg.facilitator_url}{endpoint}",
+                data=self._facilitator_body(payment_b64, duration_sec),
                 headers={"content-type": "application/json"},
             )
             with urllib.request.urlopen(req, timeout=10) as resp:
-                return json.loads(resp.read()).get("isValid", False)
+                return json.loads(resp.read())
         except Exception:
-            return False
+            return None  # fail closed: callers treat None as denial
+
+    def _verify_with_facilitator(self, payment_b64: str, duration_sec: float) -> bool:
+        resp = self._facilitator_post("/verify", payment_b64, duration_sec)
+        return bool(resp and resp.get("isValid", False))
+
+    def settle(self, payment_b64: str, duration_sec: float) -> Optional[str]:
+        """Capture the verified payment AFTER successful synthesis
+        (settle-after-serve, like the reference's x402-axum middleware,
+        main.rs:60-79). Returns the base64 X-PAYMENT-RESPONSE header value,
+        or None if settlement failed (caller should 402). Trust mode settles
+        nothing and returns a stub receipt."""
+        if self.cfg.mode != "facilitator":
+            return base64.b64encode(
+                json.dumps({"success": True, "network": self.cfg.network}).encode()
+            ).decode()
+        resp = self._facilitator_post("/settle", payment_b64, duration_sec)
+        if not resp or not resp.get("success", False):
+            return None
+        return base64.b64encode(json.dumps(resp).encode()).decode()
+
+    @property
+    def settles(self) -> bool:
+        """Whether successful requests must settle before the response."""
+        return self.cfg.mode == "facilitator"
 
     def discovery(self) -> dict:
         """GET /.well-known/x402 payload (main.rs:158-165)."""
