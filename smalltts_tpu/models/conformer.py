@@ -31,6 +31,11 @@ class ConformerConfig:
     num_layers: int
     depthwise_conv_kernel_size: int
     use_group_norm: bool = False
+    # zero padded positions before the depthwise conv so padding never leaks
+    # into valid frames (improves on torchaudio, whose conv module ignores
+    # the key mask). Set False for weight-exact parity with converted
+    # reference checkpoints — the reference trained WITH the leakage.
+    pad_invariant: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -104,7 +109,7 @@ def _mhsa(p, cfg: ConformerConfig, x, key_mask):
 def _conv_module(p, cfg: ConformerConfig, x, mask, train: bool):
     h = nn.conv1d(p["pw1"], x, padding=0)
     h = jax.nn.glu(h, axis=-1)
-    if mask is not None:
+    if mask is not None and cfg.pad_invariant:
         h = jnp.where(mask[..., None], h, 0.0)
     k = cfg.depthwise_conv_kernel_size
     h = nn.conv1d(p["dw"], h, groups=cfg.input_dim, padding=(k - 1) // 2)

@@ -154,7 +154,17 @@ def sv_forward(
     ctx = jnp.concatenate(
         [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)], axis=-1
     )
-    attn = jnp.tanh(nn.conv1d(p["asp"]["attn1"], ctx, padding=0))
+    a = nn.conv1d(p["asp"]["attn1"], ctx, padding=0)
+    new_asp = p["asp"]
+    if "attn_tdnn_bn" in p["asp"]:
+        # speechbrain ASP wraps its attention conv in a TDNNBlock
+        # (conv -> ReLU -> BN -> tanh); converted reference SV checkpoints
+        # carry that BN (utils/torch_convert.convert_sv_state_dict)
+        a, new_attn_bn = nn.batchnorm(p["asp"]["attn_tdnn_bn"], jax.nn.relu(a),
+                                      train, mask)
+        new_asp = dict(p["asp"])
+        new_asp["attn_tdnn_bn"] = new_attn_bn
+    attn = jnp.tanh(a)
     attn = nn.conv1d(p["asp"]["attn2"], attn, padding=0).astype(jnp.float32)
     attn = jnp.where(mask[..., None], attn, nn.mask_value(jnp.float32))
     w = jax.nn.softmax(attn, axis=1).astype(x.dtype)
@@ -165,5 +175,6 @@ def sv_forward(
     pooled, new_bn = nn.batchnorm(p["asp_bn"], pooled, train)
     emb = nn.conv1d(p["fc"], pooled, padding=0)[:, 0, :]
     new_p = dict(p)
-    new_p.update({"block0": new_b0, "blocks": new_blocks, "mfa": new_mfa, "asp_bn": new_bn})
+    new_p.update({"block0": new_b0, "blocks": new_blocks, "mfa": new_mfa,
+                  "asp": new_asp, "asp_bn": new_bn})
     return emb, new_p

@@ -192,3 +192,158 @@ def convert_backbone_state_dict(sd: Dict[str, np.ndarray], n_dit_blocks: int = 1
         "dit": convert_dit_state_dict(sd, "dit"),
         "velocity": _lin(sd, "velocity"),
     }
+
+
+# ---------------------------------------------------------------------------
+# DMD sidecar models: ASR / SV / discriminator (reference publishes these in
+# dmd_checkpoints, saved at src/scripts/train/dmd2/distill.py:465-479)
+# ---------------------------------------------------------------------------
+
+
+def _ln_affine(sd, key):
+    return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+
+def _bn_state(sd, key):
+    """torch BatchNorm1d (weight/bias/running_mean/running_var) -> our
+    batchnorm params+state (ops/nn.init_batchnorm layout)."""
+    return {
+        "scale": sd[f"{key}.weight"],
+        "bias": sd[f"{key}.bias"],
+        "mean": sd[f"{key}.running_mean"],
+        "var": sd[f"{key}.running_var"],
+    }
+
+
+def _ffn_module(sd, pre):
+    # torchaudio _FeedForwardModule.sequential: 0=LayerNorm, 1=Linear,
+    # 2=SiLU, 3=Dropout, 4=Linear, 5=Dropout
+    return {
+        "ln": _ln_affine(sd, f"{pre}.sequential.0"),
+        "w1": _lin(sd, f"{pre}.sequential.1"),
+        "w2": _lin(sd, f"{pre}.sequential.4"),
+    }
+
+
+def _conformer_layer(sd, pre, use_group_norm: bool):
+    # torchaudio ConformerLayer; conv_module.sequential: 0=pw Conv1d(d->2d,1),
+    # 1=GLU, 2=depthwise Conv1d(k, groups=d), 3=BatchNorm1d|GroupNorm,
+    # 4=SiLU, 5=pw Conv1d(d->d,1)
+    conv = {
+        "pw1": _conv1d(sd, f"{pre}.conv_module.sequential.0"),
+        "dw": _conv1d(sd, f"{pre}.conv_module.sequential.2"),
+        "pw2": _conv1d(sd, f"{pre}.conv_module.sequential.5"),
+    }
+    if use_group_norm:
+        conv["gn_scale"] = sd[f"{pre}.conv_module.sequential.3.weight"]
+        conv["gn_bias"] = sd[f"{pre}.conv_module.sequential.3.bias"]
+    else:
+        conv["bn"] = _bn_state(sd, f"{pre}.conv_module.sequential.3")
+    return {
+        "ffn1": _ffn_module(sd, f"{pre}.ffn1"),
+        "attn_ln": _ln_affine(sd, f"{pre}.self_attn_layer_norm"),
+        "attn": {
+            # nn.MultiheadAttention packs q/k/v rows in in_proj_weight
+            "in_proj": {
+                "w": np.ascontiguousarray(sd[f"{pre}.self_attn.in_proj_weight"].T),
+                "b": sd[f"{pre}.self_attn.in_proj_bias"],
+            },
+            "out_proj": _lin(sd, f"{pre}.self_attn.out_proj"),
+        },
+        "conv_ln": _ln_affine(sd, f"{pre}.conv_module.layer_norm"),
+        "conv": conv,
+        "ffn2": _ffn_module(sd, f"{pre}.ffn2"),
+        "final_ln": _ln_affine(sd, f"{pre}.final_layer_norm"),
+    }
+
+
+def _conformer_stack(sd, pre, use_group_norm: bool):
+    n = _count_blocks(sd, pre)
+    return {
+        "layers": [
+            _conformer_layer(sd, f"{pre}.{i}", use_group_norm) for i in range(n)
+        ]
+    }
+
+
+def convert_asr_state_dict(sd: Dict[str, np.ndarray]):
+    """Reference ASR (src/smalltts/models/asr.py: depthwise ConvTranspose1d
+    upsample + torchaudio Conformer + Linear head) -> our pytree."""
+    sd = clean_state_dict_keys(sd)
+    return {
+        # ConvTranspose1d(d, d, r, stride=r, groups=d) weight (d, 1, r) ->
+        # ours (r, 1, d)
+        "upsample": {
+            "w": np.ascontiguousarray(
+                sd["upsample.deconv.weight"].transpose(2, 1, 0)
+            ),
+            "b": sd["upsample.deconv.bias"],
+        },
+        "conformer": _conformer_stack(
+            sd, "encoder.conformer_layers", use_group_norm=False
+        ),
+        "proj": _lin(sd, "proj"),
+    }
+
+
+def convert_discriminator_state_dict(sd: Dict[str, np.ndarray]):
+    """Reference Discriminator (src/smalltts/models/discriminator.py:47-112)
+    -> our pytree (local torchaudio-ConformerLayer stack, group norm)."""
+    sd = clean_state_dict_keys(sd)
+    return {
+        "layers_proj": _lin(sd, "layers_proj"),
+        "audio_proj": _lin(sd, "audio_proj"),
+        "phoneme_embed": {"w": sd["phoneme_embed.weight"]},
+        "ref_proj": _lin(sd, "ref_proj"),
+        "cond_proj": _lin(sd, "cond_proj"),
+        "enc": _conformer_stack(sd, "enc_a.conformer_layers", use_group_norm=True),
+        "out": _conv1d(sd, "out"),
+    }
+
+
+def _sb_conv(sd, key):
+    """speechbrain Conv1d wrapper (self.conv = nn.Conv1d) -> ours."""
+    return _conv1d(sd, f"{key}.conv")
+
+
+def _sb_tdnn(sd, key):
+    """speechbrain TDNNBlock: Conv1d wrapper + activation + BatchNorm1d
+    wrapper (self.norm.norm)."""
+    return {"conv": _sb_conv(sd, f"{key}.conv"), "bn": _bn_state(sd, f"{key}.norm.norm")}
+
+
+def convert_sv_state_dict(sd: Dict[str, np.ndarray], res2net_scale: int = 12):
+    """Reference SV student (speechbrain ECAPA_TDNN under the `ecapa.`
+    prefix, src/smalltts/models/sv/model.py:13-24) -> our pytree.
+
+    The converted params include `asp.attn_tdnn_bn` (speechbrain's ASP runs
+    its attention conv through a TDNNBlock: conv -> ReLU -> BN -> tanh);
+    sv_forward enables that sub-path when the key is present."""
+    sd = clean_state_dict_keys(sd)
+    if any(k.startswith("ecapa.") for k in sd):
+        sd = {k[len("ecapa."):]: v for k, v in sd.items() if k.startswith("ecapa.")}
+
+    def se_res2net(pre):
+        return {
+            "in_tdnn": _sb_tdnn(sd, f"{pre}.tdnn1"),
+            "res2net": [
+                _sb_tdnn(sd, f"{pre}.res2net_block.blocks.{j}")
+                for j in range(res2net_scale - 1)
+            ],
+            "out_tdnn": _sb_tdnn(sd, f"{pre}.tdnn2"),
+            "se1": _sb_conv(sd, f"{pre}.se_block.conv1"),
+            "se2": _sb_conv(sd, f"{pre}.se_block.conv2"),
+        }
+
+    return {
+        "block0": _sb_tdnn(sd, "blocks.0"),
+        "blocks": [se_res2net(f"blocks.{i}") for i in (1, 2, 3)],
+        "mfa": _sb_tdnn(sd, "mfa"),
+        "asp": {
+            "attn1": _sb_conv(sd, "asp.tdnn.conv"),
+            "attn_tdnn_bn": _bn_state(sd, "asp.tdnn.norm.norm"),
+            "attn2": _sb_conv(sd, "asp.conv"),
+        },
+        "asp_bn": _bn_state(sd, "asp_bn.norm"),
+        "fc": _sb_conv(sd, "fc"),
+    }
