@@ -13,6 +13,10 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=2)
     ap.add_argument("--codec-checkpoint", default=None)
     ap.add_argument("--checkpoint-dir", default="assets/sv_checkpoints")
+    ap.add_argument("--teacher-checkpoint", default=None,
+                    help="speechbrain embedding_model.ckpt (torch) or our .npz "
+                         "of the voxceleb ECAPA teacher; falls back to the "
+                         "deterministic stand-in when omitted")
     args = ap.parse_args()
 
     from smalltts_tpu.train.sv_train import SVTrainConfig, train_sv
@@ -21,9 +25,15 @@ def main() -> None:
     codec_params = (
         ckpt.load_pytree(args.codec_checkpoint) if args.codec_checkpoint else None
     )
+    teacher_fn = None
+    if args.teacher_checkpoint:
+        from smalltts_tpu.models.sv_teacher import load_teacher, make_teacher_fn
+
+        teacher_fn = make_teacher_fn(load_teacher(args.teacher_checkpoint))
     train_sv(
         SVTrainConfig(num_steps=args.steps, batch_size=args.batch_size),
         codec_params=codec_params,
+        teacher_fn=teacher_fn,
         checkpoint_dir=args.checkpoint_dir,
     )
 
