@@ -61,32 +61,67 @@ def mel_distance(a: np.ndarray, b: np.ndarray, sr: int = 24_000) -> float:
     return float(np.abs(ma[:n] - mb[:n]).mean())
 
 
-def sv_similarity(a: np.ndarray, b: np.ndarray, tts=None) -> float:
-    """Cosine similarity of SV embeddings of two waveforms, computed through
-    the latent-domain SV model on codec-encoded latents. `tts` supplies the
-    codec encoder; SV params default to random-init unless provided (trained
-    weights give the meaningful metric)."""
+def sv_similarity(a: np.ndarray, b: np.ndarray, tts=None, sv_params=None,
+                  teacher_params=None) -> float:
+    """Cosine similarity of SV embeddings of two 24 kHz waveforms.
+
+    Two instruments, in order of preference:
+    * `teacher_params` (voxceleb waveform ECAPA, models/sv_teacher.py) —
+      embeds the waveforms directly; the meaningful parity metric;
+    * `sv_params` (trained latent-domain SV) + `tts` for the codec encoder.
+
+    With neither, falls back to a random-init latent SV and WARNS: the
+    number is then only a smoke signal, not a similarity measurement."""
     import jax
     import jax.numpy as jnp
 
-    from smalltts_tpu.models.sv import SVConfig, init_sv, sv_forward
+    if teacher_params is not None:
+        from smalltts_tpu.models.sv_teacher import (
+            resample_24k_to_16k,
+            sv_teacher_embed,
+        )
 
-    if tts is None:
-        from smalltts_tpu.infer.pipeline import SmallTTS
+        def embed(wav):
+            wav16 = resample_24k_to_16k(
+                jnp.asarray(np.asarray(wav, np.float32).reshape(1, 1, -1))
+            )
+            return np.asarray(sv_teacher_embed(teacher_params, wav16)[0])
 
-        tts = SmallTTS()
-    cfg = SVConfig()
-    sv_params = getattr(tts, "_sv_params", None)
-    if sv_params is None:
-        sv_params = init_sv(jax.random.PRNGKey(0), cfg)
-        tts._sv_params = sv_params
+    else:
+        from smalltts_tpu.models.sv import SVConfig, init_sv, sv_forward
 
-    def embed(wav):
-        lat = tts.encode_reference(np.asarray(wav, np.float32))
-        emb, _ = sv_forward(sv_params, cfg, jnp.asarray(lat)[None],
-                            jnp.asarray([lat.shape[0]]))
-        return np.asarray(emb[0])
+        if tts is None:
+            from smalltts_tpu.infer.pipeline import SmallTTS
+
+            tts = SmallTTS()
+        cfg = SVConfig()
+        if sv_params is None:
+            sv_params = getattr(tts, "_sv_params", None)
+        if sv_params is None:
+            import warnings
+
+            warnings.warn(
+                "sv_similarity: no trained SV weights passed — using a "
+                "random-init model; the value is NOT a similarity measurement",
+                stacklevel=2,
+            )
+            sv_params = init_sv(jax.random.PRNGKey(0), cfg)
+            tts._sv_params = sv_params
+
+        def embed(wav):
+            lat = tts.encode_reference(np.asarray(wav, np.float32))
+            emb, _ = sv_forward(sv_params, cfg, jnp.asarray(lat)[None],
+                                jnp.asarray([lat.shape[0]]))
+            return np.asarray(emb[0])
 
     ea, eb = embed(a), embed(b)
     denom = np.linalg.norm(ea) * np.linalg.norm(eb)
     return float(ea @ eb / max(denom, 1e-12))
+
+
+def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio of `test` against `reference` (truncates)."""
+    n = min(len(reference), len(test))
+    ref, t = np.asarray(reference[:n], np.float64), np.asarray(test[:n], np.float64)
+    noise = ref - t
+    return float(10 * np.log10(np.mean(ref ** 2) / max(np.mean(noise ** 2), 1e-12)))
