@@ -1,5 +1,6 @@
 """Benchmark: replicates the reference grid (2/5/10 s x batch 1/2/4/8) with
-TRUE batched execution on one TPU chip, plus per-stage timings.
+TRUE batched execution on one TPU chip, plus per-stage timings and latency
+percentiles.
 
 Reference protocol (reference: src/server/src/bin/bench.rs:3-99): 1 warmup +
 3 timed runs, 2 s reference audio, 30 phoneme tokens; the reference's "batch"
@@ -8,7 +9,14 @@ XLA graph. Baseline numbers: /root/repo/BASELINE.md (NVIDIA T4, ort CUDA EP).
 
 Prints ONE JSON line on stdout:
     {"metric": "rtf_5s_batch8", "value": <RTF>, "unit": "rtf",
-     "vs_baseline": <baseline_rtf / our_rtf>}  (>1 means faster than baseline)
+     "vs_baseline": <baseline_rtf / our_rtf>,         # >1 = faster than T4
+     "latency_p50_ms": ..., "latency_p95_ms": ...,    # single-call wall
+     "compute_ms": ...}                                # chained, link-free
+Full per-config detail (all grid cells, stage breakdown) is written to
+out/bench_detail.json.
+
+Env knobs: BENCH_FULL=1 -> full 12-cell reference grid; BENCH_SCALE=1 ->
+extra batch 16/32/64 throughput cells; JAX_CACHE_DIR -> compilation cache.
 """
 
 from __future__ import annotations
@@ -20,12 +28,16 @@ import time
 import numpy as np
 
 
+def _percentile(xs, q):
+    xs = sorted(xs)
+    return xs[min(int(len(xs) * q), len(xs) - 1)]
+
+
 def main() -> None:
     import os
 
     import jax
 
-    # persistent compilation cache: compiles survive across bench runs
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -52,15 +64,17 @@ def main() -> None:
     else:
         durations = [5.0]
         batches = [1, 8]
+    scale_batches = [16, 32, 64] if os.environ.get("BENCH_SCALE") == "1" else []
     warmup, runs = 1, 3
     results = {}
+    detail = {}
 
     import jax.numpy as jnp
 
     from smalltts_tpu.data.bucketing import (
         LATENT_BUCKETS,
-        PHONEME_BUCKETS,
-        REF_BUCKETS,
+        SERVING_PHONEME_BUCKETS,
+        SERVING_REF_BUCKETS,
         pad_to,
         pick_bucket,
     )
@@ -70,13 +84,13 @@ def main() -> None:
     grid = sorted(
         ((d, b) for d in durations for b in batches),
         key=lambda db: (db != (5.0, 8), db),
-    )
+    ) + [(5.0, b) for b in scale_batches]
     for dur, bs in grid:
         try:
             seq = frames_for_duration(dur)
             t_bucket = pick_bucket(seq, LATENT_BUCKETS)
-            r_bucket = pick_bucket(ref_frames, REF_BUCKETS)
-            p_bucket = pick_bucket(len(token_ids), PHONEME_BUCKETS)
+            r_bucket = pick_bucket(ref_frames, SERVING_REF_BUCKETS)
+            p_bucket = pick_bucket(len(token_ids), SERVING_PHONEME_BUCKETS)
 
             # pre-place inputs on device OUTSIDE the timing loop: the bench
             # measures synthesis compute, not host link bandwidth
@@ -99,7 +113,9 @@ def main() -> None:
             # execution finishes. Timing: (K chained runs + scalar fetch)
             # minus (1 run + scalar fetch) — execution is serial per device,
             # so the difference is (K-1) * per-call compute; fetch latency
-            # and dispatch overhead cancel.
+            # and dispatch overhead cancel. The raw single-call walls are
+            # ALSO kept: they are the end-to-end latency a caller observes
+            # (p50/p95 reported per BASELINE.md's metric definition).
             def run_k(k: int) -> float:
                 t0 = time.perf_counter()
                 out = None
@@ -111,18 +127,55 @@ def main() -> None:
             for _ in range(warmup):
                 run_k(1)  # warms the synth graph AND the mean+fetch program
             k = 12
-            singles = min(run_k(1) for _ in range(runs))
+            single_walls = [run_k(1) for _ in range(max(runs, 5))]
             chained = min(run_k(k) for _ in range(runs))
+            singles = min(single_walls)
             ms = 1e3 * max(chained - singles, 1e-9) / (k - 1)
             audio_sec = seq * HOP_SIZE / SAMPLE_RATE
             rtf = (ms / 1e3) / (audio_sec * bs)
-            results[(dur, bs)] = (ms, rtf)
+            p50 = 1e3 * _percentile(single_walls, 0.5)
+            p95 = 1e3 * _percentile(single_walls, 0.95)
+            results[(dur, bs)] = (ms, rtf, p50, p95)
+            detail[f"{dur:g}s_b{bs}"] = {
+                "compute_ms": round(ms, 2),
+                "rtf": round(rtf, 6),
+                "wall_p50_ms": round(p50, 2),
+                "wall_p95_ms": round(p95, 2),
+                "audio_sec_per_sec": round(audio_sec * bs / (ms / 1e3), 1),
+            }
             print(
-                f"dur={dur:5.1f}s batch={bs}: {ms:8.1f} ms  rtf={rtf:.5f}",
+                f"dur={dur:5.1f}s batch={bs:2d}: compute {ms:8.1f} ms  "
+                f"rtf={rtf:.5f}  wall p50 {p50:7.1f} ms  p95 {p95:7.1f} ms",
                 file=sys.stderr,
             )
         except Exception as exc:  # keep going: partial grid still reports
             print(f"dur={dur}s batch={bs} FAILED: {exc}", file=sys.stderr)
+
+    # per-stage compute split for the headline config (Timing parity with
+    # pipeline.rs:30-37), via the staged fns on 2 s of reference audio
+    try:
+        ref_audio = (0.3 * np.sin(2 * np.pi * 440 * np.arange(2 * SAMPLE_RATE)
+                                  / SAMPLE_RATE)).astype(np.float32)
+        for _ in range(2):  # warm staged graphs
+            _, timing = tts.synthesize_timed(ref_audio, token_ids, 5.0)
+        _, timing = tts.synthesize_timed(ref_audio, token_ids, 5.0)
+        detail["stages_5s_b1"] = {
+            "codec_enc_ms": round(timing.codec_enc_ms, 2),
+            "cond_enc_ms": round(timing.cond_enc_ms, 2),
+            "denoise_ms": round(timing.denoise_ms, 2),
+            "codec_dec_ms": round(timing.codec_dec_ms, 2),
+            "total_ms": round(timing.total_ms, 2),
+        }
+        print(f"stages (5s b1): {detail['stages_5s_b1']}", file=sys.stderr)
+    except Exception as exc:
+        print(f"stage timing FAILED: {exc}", file=sys.stderr)
+
+    try:
+        os.makedirs("out", exist_ok=True)
+        with open("out/bench_detail.json", "w") as f:
+            json.dump(detail, f, indent=1)
+    except Exception:
+        pass
 
     # headline metric: RTF at batch=8 for 5 s utterances (BASELINE.md target);
     # reference T4 baselines per config for vs_baseline (README.md:77-79)
@@ -135,8 +188,10 @@ def main() -> None:
         print(json.dumps({"metric": "rtf_5s_batch8", "value": -1.0,
                           "unit": "rtf", "vs_baseline": 0.0}))
         sys.exit(1)
-    key = (5.0, 8) if (5.0, 8) in results else max(results, key=lambda db: db[1])
-    _, rtf = results[key]
+    key = (5.0, 8) if (5.0, 8) in results else max(
+        (k for k in results if k in baselines), key=lambda db: db[1]
+    )
+    ms, rtf, p50, p95 = results[key]
     metric = f"rtf_{key[0]:g}s_batch{key[1]}"
     print(
         json.dumps(
@@ -145,6 +200,9 @@ def main() -> None:
                 "value": round(rtf, 6),
                 "unit": "rtf",
                 "vs_baseline": round(baselines[key] / rtf, 3),
+                "latency_p50_ms": round(p50, 2),
+                "latency_p95_ms": round(p95, 2),
+                "compute_ms": round(ms, 2),
             }
         )
     )

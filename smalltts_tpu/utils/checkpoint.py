@@ -61,9 +61,18 @@ def unflatten_pytree(flat: Dict[str, np.ndarray]) -> Any:
     return root
 
 
-def save_pytree(path: str, tree) -> None:
+def _atomic_savez(path: str, arrays: Dict[str, np.ndarray]) -> None:
+    """Write-to-temp + rename so a crash mid-save never corrupts the last
+    good checkpoint (np.savez appends .npz to paths without the suffix, so
+    the temp name keeps it)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **flatten_pytree(jax.device_get(tree)))
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def save_pytree(path: str, tree) -> None:
+    _atomic_savez(path, flatten_pytree(jax.device_get(tree)))
 
 
 def load_pytree(path: str):
@@ -101,8 +110,7 @@ def save_train_state(path: str, state) -> None:
     npz; leaves are stored in tree order and restored into a freshly-built
     template (load_train_state)."""
     leaves = jax.tree.leaves(jax.device_get(state))
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **{f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)})
+    _atomic_savez(path, {f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)})
 
 
 def load_train_state(path: str, template):
