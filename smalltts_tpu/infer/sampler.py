@@ -119,8 +119,7 @@ def make_synthesize_fn(
     if decode_fn is None:
         decode_fn = lambda cp, lat: codec_decode(cp, lat, codec_cfg)  # noqa: E731
 
-    @partial(jax.jit, static_argnames=("t_bucket",))
-    def synthesize(
+    def _synthesize_pure(
         params,
         codec_params,
         ref_latents,
@@ -139,4 +138,9 @@ def make_synthesize_fn(
         audio = decode_fn(codec_params, latents.astype(jnp.float32))
         return audio  # (B, 1, t_bucket * hop)
 
+    synthesize = jax.jit(_synthesize_pure, static_argnames=("t_bucket",))
+    # unjitted body, for composition into larger graphs (bench's in-graph
+    # K-repeat compute probe scans it so device-side timing excludes all
+    # per-dispatch host/tunnel overhead)
+    synthesize.pure_fn = _synthesize_pure
     return synthesize

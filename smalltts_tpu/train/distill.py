@@ -403,6 +403,7 @@ def train_distill(
     scorer_step = make_scorer_step(model_cfg, tx_scorer, train_cfg.scorer_updates)
 
     data_iter = data_iter or get_dummy_dataloader(train_cfg.batch_size, seed)
+    saver = ckpt.AsyncCheckpointer()
     metrics = {}
     for step in range(train_cfg.num_steps):
         batch = next(data_iter)
@@ -421,7 +422,9 @@ def train_distill(
         if step % 50 == 0:
             print(f"step {step}: " + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
         if step % train_cfg.save_every == 0 and step > 1:
-            ckpt.save_pytree(f"{checkpoint_dir}/student_latest.npz", student)
-            ckpt.save_pytree(f"{checkpoint_dir}/scorer_latest.npz", scorer)
-            ckpt.save_pytree(f"{checkpoint_dir}/discriminator_latest.npz", disc)
+            saver.wait()
+            saver.save_pytree(f"{checkpoint_dir}/student_latest.npz", student)
+            saver.save_pytree(f"{checkpoint_dir}/scorer_latest.npz", scorer)
+            saver.save_pytree(f"{checkpoint_dir}/discriminator_latest.npz", disc)
+    saver.close()
     return student, scorer, disc, metrics

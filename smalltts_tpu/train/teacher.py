@@ -144,6 +144,9 @@ def train_teacher(
 
     step_fn = make_teacher_step(model_cfg, tx)
     data_iter = data_iter or get_dummy_dataloader(train_cfg.batch_size, seed)
+    # ~4 GB of weights+state per save at full size: serialize off-thread so
+    # the step loop never stalls on disk (utils/checkpoint.AsyncCheckpointer)
+    saver = ckpt.AsyncCheckpointer()
 
     for step in range(start_step, train_cfg.num_steps):
         batch = next(data_iter)
@@ -158,11 +161,13 @@ def train_teacher(
             print(f"step {step}: teacher_loss={float(loss):.4f} lr={float(sched(step)):.2e}")
         if step % train_cfg.save_every == 0 and step > 1:
             # portable weights (raw + EMA) AND resumable full trainer state
-            ckpt.save_pytree(f"{checkpoint_dir}/checkpoint_latest.npz", params)
-            ckpt.save_pytree(f"{checkpoint_dir}/checkpoint_ema.npz", ema_params)
-            ckpt.save_train_state(
+            saver.wait()  # previous save fully on disk before re-snapshot
+            saver.save_pytree(f"{checkpoint_dir}/checkpoint_latest.npz", params)
+            saver.save_pytree(f"{checkpoint_dir}/checkpoint_ema.npz", ema_params)
+            saver.save_train_state(
                 f"{checkpoint_dir}/train_state.npz",
                 {"params": params, "opt_state": opt_state, "ema": ema_params,
                  "step": jnp.asarray(step, jnp.int32)},
             )
+    saver.close()
     return params, ema_params

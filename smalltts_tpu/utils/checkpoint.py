@@ -132,6 +132,69 @@ def load_train_state(path: str, template):
     return jax.tree.unflatten(treedef, leaves)
 
 
+class AsyncCheckpointer:
+    """Overlap checkpoint I/O with training.
+
+    The reference's accelerator.save_state blocks the step loop while ~4 GB
+    of trainer state serializes (teacher.py:160-171); here the training
+    thread only snapshots array references (cheap — jax arrays are
+    immutable), and device->host transfer + npz serialization + atomic
+    rename run on one background worker. `wait()` joins outstanding saves;
+    a bounded queue applies backpressure if saves can't keep up with
+    save_every."""
+
+    def __init__(self, max_pending: int = 2) -> None:
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=max_pending)
+        self._errors: list = []
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fn, args = item
+            try:
+                fn(*args)
+            except Exception as exc:  # surfaced on wait()
+                self._errors.append(exc)
+            finally:
+                self._q.task_done()
+
+    @staticmethod
+    def _snapshot(tree):
+        """On-device copy: training steps donate their input buffers, so by
+        the time the worker serializes, the original arrays may be deleted.
+        A device-side copy is an HBM-bandwidth memcpy (fast, async dispatch)
+        and is never donated."""
+        import jax.numpy as jnp
+
+        return jax.tree.map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree
+        )
+
+    def save_pytree(self, path: str, tree) -> None:
+        self._q.put((save_pytree, (path, self._snapshot(tree))))
+
+    def save_train_state(self, path: str, state) -> None:
+        self._q.put((save_train_state, (path, self._snapshot(state))))
+
+    def wait(self) -> None:
+        """Block until all queued saves hit disk; re-raise the first error."""
+        self._q.join()
+        if self._errors:
+            raise self._errors[0]
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._thread.join(timeout=10)
+
+
 def cast_floating(tree, dtype):
     """Cast floating leaves to `dtype` (e.g. bf16 for TPU inference)."""
     import jax.numpy as jnp

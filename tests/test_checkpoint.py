@@ -78,3 +78,41 @@ def test_clean_state_dict_keys():
     }
     out = clean_state_dict_keys(sd)
     assert out == {"dit.foo": 1, "velocity.weight": 2, "x": 3, "a.b": 4}
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from smalltts_tpu.utils.checkpoint import (
+        AsyncCheckpointer,
+        load_pytree,
+        load_train_state,
+    )
+
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones(4)}}
+    state = {"params": tree, "step": jnp.asarray(7)}
+    saver = AsyncCheckpointer()
+    for i in range(3):  # overlapping saves to the same path serialize
+        saver.save_pytree(str(tmp_path / "p.npz"), tree)
+    saver.save_train_state(str(tmp_path / "s.npz"), state)
+    saver.close()
+    import numpy as np
+
+    got = load_pytree(str(tmp_path / "p.npz"))
+    np.testing.assert_array_equal(got["a"], np.arange(6.0).reshape(2, 3))
+    restored = load_train_state(str(tmp_path / "s.npz"), state)
+    assert int(restored["step"]) == 7
+    # atomicity: no temp files left behind
+    assert not [f for f in tmp_path.iterdir() if ".tmp" in f.name]
+
+
+def test_async_checkpointer_surfaces_errors(tmp_path):
+    import jax.numpy as jnp
+    import pytest
+
+    from smalltts_tpu.utils.checkpoint import AsyncCheckpointer
+
+    saver = AsyncCheckpointer()
+    saver.save_pytree("/proc/definitely/not/writable/x.npz", {"a": jnp.ones(2)})
+    with pytest.raises(Exception):
+        saver.wait()
