@@ -320,3 +320,27 @@ def test_bad_content_length_rejected_400():
         s.close()
     finally:
         loop.call_soon_threadsafe(loop.stop)
+
+
+def test_long_reference_clone_through_pipeline():
+    """VERDICT item 4's clone test: a ~13 s reference (100 latent frames)
+    flows through SmallTTS.synthesize without being cut to 64 frames."""
+    import jax
+
+    from smalltts_tpu.infer.pipeline import SmallTTS
+    from smalltts_tpu.models.backbone import init_backbone
+    from smalltts_tpu.models.codec import init_codec
+    from tests.tiny import TINY_BACKBONE, TINY_CODEC
+
+    tts = SmallTTS(
+        init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE),
+        init_codec(jax.random.PRNGKey(1), TINY_CODEC),
+        cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
+    )
+    ref = np.random.RandomState(0).randn(100, 64).astype(np.float32)
+    # the padded entry point records the true (un-truncated) ref length
+    reff, ref_len, ph, ph_len, seq_len, t_bucket = tts._bucketize(ref, [1, 2], 1.0)
+    assert reff.shape[0] == 256 and ref_len == 100
+    audio = tts.synthesize(ref, [1, 2, 3], 1.0)
+    assert audio.shape == (1, 8 * 3200)
+    assert np.isfinite(audio).all()
