@@ -153,6 +153,36 @@ def main() -> None:
         except Exception as exc:  # keep going: partial grid still reports
             print(f"dur={dur}s batch={bs} FAILED: {exc}", file=sys.stderr)
 
+    # dispatch-floor calibration: the same chained methodology on a trivial
+    # executable measures the per-call dispatch interval of this link. On a
+    # tunneled device dispatches don't fully overlap execution, so the grid's
+    # "compute_ms" is an UPPER bound on device compute; compute >= grid ms
+    # minus this floor. (Round-1 stage sums put true compute near that lower
+    # bound: ~15 ms at 5 s/batch 8.)
+    try:
+        tiny = jnp.zeros((8, 128), jnp.float32)
+        triv = jax.jit(lambda x: x * 1.000001 + 1e-7)
+
+        def run_triv(kk):
+            t0 = time.perf_counter()
+            y = tiny
+            for _ in range(kk):
+                y = triv(y)
+            float(jnp.sum(y))
+            return time.perf_counter() - t0
+
+        run_triv(1)
+        k = 12
+        floor_ms = 1e3 * max(
+            min(run_triv(k) for _ in range(runs))
+            - min(run_triv(1) for _ in range(runs)),
+            1e-9,
+        ) / (k - 1)
+        detail["dispatch_floor_ms"] = round(floor_ms, 2)
+        print(f"per-dispatch floor (trivial op): {floor_ms:.1f} ms", file=sys.stderr)
+    except Exception as exc:
+        print(f"dispatch calibration FAILED: {exc}", file=sys.stderr)
+
     # in-graph K-repeat probe for the headline config: lax.scan K full
     # syntheses inside ONE executable, so (t(K) - t(1)) / (K-1) measures
     # pure device compute with zero per-dispatch host/tunnel overhead —

@@ -16,6 +16,13 @@ def main() -> None:
     ap.add_argument("--resume", default=None)
     ap.add_argument("--dp", type=int, default=0, help="data-parallel ways (0 = single device)")
     ap.add_argument("--checkpoint-dir", default="assets/teacher_checkpoints")
+    ap.add_argument("--data-dir", default=None,
+                    help="local corpus: metadata.csv ('wav|text') or paired "
+                         ".wav/.txt files (default: dummy random tensors)")
+    ap.add_argument("--codec-checkpoint", default=None,
+                    help="native codec weights for corpus encoding (with "
+                         "assets/codec/*.onnx present the imported VibeVoice "
+                         "encoder is used instead)")
     args = ap.parse_args()
 
     from smalltts_tpu.train.teacher import TeacherTrainConfig, train_teacher
@@ -26,12 +33,27 @@ def main() -> None:
 
         mesh = make_mesh(dp=args.dp, tp=1)
 
+    data_iter = None
+    if args.data_dir:
+        from smalltts_tpu.data.local import (
+            LocalDataConfig,
+            default_encode_fn,
+            get_local_dataloader,
+        )
+
+        data_iter = get_local_dataloader(
+            args.data_dir,
+            default_encode_fn(args.codec_checkpoint),
+            LocalDataConfig(batch_size=args.batch_size),
+        )
+
     train_teacher(
         TeacherTrainConfig(num_steps=args.steps, batch_size=args.batch_size),
         mesh=mesh,
         pretrained=args.pretrained,
         resume_from=args.resume,
         checkpoint_dir=args.checkpoint_dir,
+        data_iter=data_iter,
     )
 
 
