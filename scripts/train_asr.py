@@ -12,13 +12,21 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=200_000)
     ap.add_argument("--batch-size", type=int, default=2)
     ap.add_argument("--checkpoint-dir", default="assets/asr_checkpoints")
+    ap.add_argument("--data-dir", default=None,
+                    help="local corpus (metadata.csv or paired .wav/.txt); "
+                         "default: dummy random tensors")
+    ap.add_argument("--data-codec-checkpoint", default=None,
+                    help="native codec weights for corpus encoding")
     args = ap.parse_args()
+
+    from smalltts_tpu.data.local import cli_data_iter
 
     from smalltts_tpu.train.asr_train import ASRTrainConfig, train_asr
 
     train_asr(
         ASRTrainConfig(num_steps=args.steps, batch_size=args.batch_size),
         checkpoint_dir=args.checkpoint_dir,
+        data_iter=cli_data_iter(args.data_dir, args.data_codec_checkpoint, args.batch_size),
     )
 
 

@@ -15,7 +15,14 @@ def main() -> None:
     ap.add_argument("--asr", default="assets/asr_checkpoints/checkpoint_latest.npz")
     ap.add_argument("--sv", default="assets/sv_checkpoints/checkpoint_latest.npz")
     ap.add_argument("--checkpoint-dir", default="assets/dmd_checkpoints")
+    ap.add_argument("--data-dir", default=None,
+                    help="local corpus (metadata.csv or paired .wav/.txt); "
+                         "default: dummy random tensors")
+    ap.add_argument("--data-codec-checkpoint", default=None,
+                    help="native codec weights for corpus encoding")
     args = ap.parse_args()
+
+    from smalltts_tpu.data.local import cli_data_iter
 
     from smalltts_tpu.train.distill import DistillConfig, train_distill
 
@@ -25,6 +32,7 @@ def main() -> None:
         asr_checkpoint=args.asr,
         sv_checkpoint=args.sv,
         checkpoint_dir=args.checkpoint_dir,
+        data_iter=cli_data_iter(args.data_dir, args.data_codec_checkpoint, args.batch_size),
     )
 
 

@@ -17,7 +17,14 @@ def main() -> None:
                     help="speechbrain embedding_model.ckpt (torch) or our .npz "
                          "of the voxceleb ECAPA teacher; falls back to the "
                          "deterministic stand-in when omitted")
+    ap.add_argument("--data-dir", default=None,
+                    help="local corpus (metadata.csv or paired .wav/.txt); "
+                         "default: dummy random tensors")
+    ap.add_argument("--data-codec-checkpoint", default=None,
+                    help="native codec weights for corpus encoding")
     args = ap.parse_args()
+
+    from smalltts_tpu.data.local import cli_data_iter
 
     from smalltts_tpu.train.sv_train import SVTrainConfig, train_sv
     from smalltts_tpu.utils import checkpoint as ckpt
@@ -35,6 +42,7 @@ def main() -> None:
         codec_params=codec_params,
         teacher_fn=teacher_fn,
         checkpoint_dir=args.checkpoint_dir,
+        data_iter=cli_data_iter(args.data_dir, args.data_codec_checkpoint, args.batch_size),
     )
 
 

@@ -237,6 +237,19 @@ def default_encode_fn(codec_checkpoint: Optional[str] = None, codec_cfg=None):
     return jax.jit(partial(codec_encode, params, cfg=codec_cfg))
 
 
+def cli_data_iter(data_dir: Optional[str], codec_checkpoint: Optional[str],
+                  batch_size: int):
+    """Shared trainer-CLI wiring: None when no --data-dir was given (the
+    trainers then fall back to the dummy loader)."""
+    if not data_dir:
+        return None
+    return get_local_dataloader(
+        data_dir,
+        default_encode_fn(codec_checkpoint),
+        LocalDataConfig(batch_size=batch_size),
+    )
+
+
 def dataset_dummy_compat(cfg: LocalDataConfig) -> DummyDataConfig:
     """The DummyDataConfig describing the same batch shapes (for tests and
     shape assertions)."""
