@@ -209,7 +209,16 @@ def _ew(name: str, fn):
 _ew("Add", lambda a, b: jnp.add(a, b))
 _ew("Sub", lambda a, b: jnp.subtract(a, b))
 _ew("Mul", lambda a, b: jnp.multiply(a, b))
-_ew("Div", lambda a, b: jnp.divide(a, b) if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else jnp.asarray(a) // jnp.asarray(b))
+_ew(
+    "Div",
+    lambda a, b: (
+        jnp.divide(a, b)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+        # ONNX integer Div truncates toward zero (C semantics); lax.div does
+        # too, while Python's // floors (differs on negatives)
+        else lax.div(jnp.asarray(a), jnp.asarray(b).astype(jnp.asarray(a).dtype))
+    ),
+)
 _ew("Pow", lambda a, b: jnp.power(a, jnp.asarray(b).astype(jnp.asarray(a).dtype)))
 _ew("Sqrt", jnp.sqrt)
 _ew("Exp", jnp.exp)
