@@ -1116,6 +1116,119 @@ def _resize_axis(x, axis, in_dim, out_dim, scale, mode, coord, nearest_mode):
     raise NotImplementedError(f"Resize mode {mode}")
 
 
+# ============================================================ recurrence
+# EnCodec-class codecs carry LSTM bottlenecks; implemented with lax.scan so
+# imported graphs with recurrence still compile to one XLA program.
+
+
+def _rnn_directions(ctx, w, r, b, seq_len, batch, hidden, n_gates):
+    num_dir = w.shape[0]
+    if b is None:
+        b = jnp.zeros((num_dir, 2 * n_gates * hidden), w.dtype)
+    return num_dir, jnp.asarray(b)
+
+
+@op("LSTM")
+def _lstm(ctx, x, w, r, b=None, seq_lens=None, init_h=None, init_c=None, p=None):
+    """ONNX LSTM, default activations (sigmoid/tanh/tanh), iofc gate order.
+    x: (T, B, I); W: (D, 4H, I); R: (D, 4H, H); B: (D, 8H)."""
+    if ctx.attrs.get("activations") is not None:
+        acts = [s.decode().lower() for s in ctx.attrs["activations"].strings]
+        if any(a not in ("sigmoid", "tanh") for a in acts):
+            raise NotImplementedError(f"LSTM custom activations {acts}")
+    if p is not None:
+        raise NotImplementedError("LSTM peepholes")
+    direction = ctx.attr_s("direction", "forward")
+    hidden = ctx.attr_i("hidden_size")
+    xa, wa, ra = jnp.asarray(x), jnp.asarray(w), jnp.asarray(r)
+    t_len, batch, _ = xa.shape
+    num_dir, ba = _rnn_directions(ctx, wa, ra, b, t_len, batch, hidden, 4)
+    wb, rb = ba[:, : 4 * hidden], ba[:, 4 * hidden :]
+
+    h0 = (jnp.zeros((num_dir, batch, hidden), xa.dtype)
+          if init_h is None else jnp.asarray(init_h))
+    c0 = (jnp.zeros((num_dir, batch, hidden), xa.dtype)
+          if init_c is None else jnp.asarray(init_c))
+
+    def run_dir(d, reverse):
+        xs = jnp.flip(xa, 0) if reverse else xa
+        # hoist the input projection out of the scan: one big matmul (MXU)
+        gates_x = xs @ wa[d].T + wb[d]
+
+        def step(carry, gx):
+            h, c = carry
+            g = gx + h @ ra[d].T + rb[d]
+            i, o, f, cand = jnp.split(g, 4, axis=-1)  # ONNX iofc order
+            i, o, f = jax.nn.sigmoid(i), jax.nn.sigmoid(o), jax.nn.sigmoid(f)
+            c = f * c + i * jnp.tanh(cand)
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        (h_fin, c_fin), hs = lax.scan(step, (h0[d], c0[d]), gates_x)
+        if reverse:
+            hs = jnp.flip(hs, 0)
+        return hs, h_fin, c_fin
+
+    if direction == "bidirectional":
+        f_hs, f_h, f_c = run_dir(0, False)
+        b_hs, b_h, b_c = run_dir(1, True)
+        y = jnp.stack([f_hs, b_hs], 1)          # (T, 2, B, H)
+        y_h = jnp.stack([f_h, b_h], 0)
+        y_c = jnp.stack([f_c, b_c], 0)
+    else:
+        hs, h_fin, c_fin = run_dir(0, direction == "reverse")
+        y = hs[:, None]
+        y_h, y_c = h_fin[None], c_fin[None]
+    return y, y_h, y_c
+
+
+@op("GRU")
+def _gru(ctx, x, w, r, b=None, seq_lens=None, init_h=None):
+    """ONNX GRU, zrh gate order, default activations; x (T,B,I)."""
+    direction = ctx.attr_s("direction", "forward")
+    hidden = ctx.attr_i("hidden_size")
+    lbr = ctx.attr_i("linear_before_reset", 0)
+    xa, wa, ra = jnp.asarray(x), jnp.asarray(w), jnp.asarray(r)
+    t_len, batch, _ = xa.shape
+    num_dir, ba = _rnn_directions(ctx, wa, ra, b, t_len, batch, hidden, 3)
+    wb, rb = ba[:, : 3 * hidden], ba[:, 3 * hidden :]
+    h0 = (jnp.zeros((num_dir, batch, hidden), xa.dtype)
+          if init_h is None else jnp.asarray(init_h))
+
+    def run_dir(d, reverse):
+        xs = jnp.flip(xa, 0) if reverse else xa
+        gates_x = xs @ wa[d].T + wb[d]
+        rz_r, rh_r = ra[d][: 2 * hidden], ra[d][2 * hidden :]
+        rbz, rbh = rb[d][: 2 * hidden], rb[d][2 * hidden :]
+
+        def step(h, gx):
+            zr_x, hx = gx[..., : 2 * hidden], gx[..., 2 * hidden :]
+            zr = jax.nn.sigmoid(zr_x + h @ rz_r.T + rbz)
+            z, rgate = zr[..., :hidden], zr[..., hidden:]
+            if lbr:
+                hh = jnp.tanh(hx + rgate * (h @ rh_r.T + rbh))
+            else:
+                hh = jnp.tanh(hx + (rgate * h) @ rh_r.T + rbh)
+            h_new = (1 - z) * hh + z * h
+            return h_new, h_new
+
+        h_fin, hs = lax.scan(step, h0[d], gates_x)
+        if reverse:
+            hs = jnp.flip(hs, 0)
+        return hs, h_fin
+
+    if direction == "bidirectional":
+        f_hs, f_h = run_dir(0, False)
+        b_hs, b_h = run_dir(1, True)
+        y = jnp.stack([f_hs, b_hs], 1)
+        y_h = jnp.stack([f_h, b_h], 0)
+    else:
+        hs, h_fin = run_dir(0, direction == "reverse")
+        y = hs[:, None]
+        y_h = h_fin[None]
+    return y, y_h
+
+
 @op("Upsample")  # deprecated alias of Resize (opset 9)
 def _upsample(ctx, x, scales=None):
     xa = jnp.asarray(x)

@@ -503,3 +503,59 @@ def test_unsupported_op_reports_names():
     )
     with pytest.raises(NotImplementedError, match="BogusOp9000"):
         OnnxFunction(parse_model(proto.serialize_model(proto.Model(graph=g))))
+
+
+def test_lstm_forward_and_bidirectional():
+    torch.manual_seed(0)
+    for bidi in (False, True):
+        m = nn.LSTM(input_size=6, hidden_size=5, bidirectional=bidi)
+        x = torch.randn(7, 2, 6)  # (T, B, I)
+
+        class Wrap(nn.Module):
+            def __init__(self, lstm):
+                super().__init__()
+                self.lstm = lstm
+
+            def forward(self, x):
+                y, (h, c) = self.lstm(x)
+                return y, h, c
+
+        run_parity(Wrap(m), (x,), atol=1e-5)
+
+
+def test_gru_forward_and_reverse():
+    torch.manual_seed(1)
+    for bidi in (False, True):
+        m = nn.GRU(input_size=4, hidden_size=3, bidirectional=bidi)
+        x = torch.randn(5, 2, 4)
+
+        class Wrap(nn.Module):
+            def __init__(self, gru):
+                super().__init__()
+                self.gru = gru
+
+            def forward(self, x):
+                y, h = self.gru(x)
+                return y, h
+
+        run_parity(Wrap(m), (x,), atol=1e-5)
+
+
+def test_encodec_style_lstm_bottleneck():
+    """conv downsample -> LSTM bottleneck -> conv (the EnCodec codec shape)."""
+    torch.manual_seed(2)
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.down = nn.Conv1d(1, 8, 8, stride=4, padding=2)
+            self.lstm = nn.LSTM(8, 8)
+            self.out = nn.Conv1d(8, 4, 3, padding=1)
+
+        def forward(self, x):  # (B, 1, T)
+            h = torch.relu(self.down(x))
+            seq = h.permute(2, 0, 1)  # (T, B, C)
+            y, _ = self.lstm(seq)
+            return self.out((y + seq).permute(1, 2, 0))
+
+    run_parity(M(), (torch.randn(2, 1, 64),), atol=1e-5)
