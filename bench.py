@@ -214,14 +214,20 @@ def main() -> None:
             pure = tts._synthesize_fn.pure_fn
 
             def make_repeat(k):
-                def body(carry, key):
-                    audio = pure(tts.params, tts.codec_params, ref, ref_lens,
+                # params MUST travel as jit arguments: closing over them
+                # would bake 1.3 GB of literals into the HLO (the remote
+                # compile endpoint rejects the request with HTTP 413)
+                def body(carry, key, params, codec_params):
+                    audio = pure(params, codec_params, ref, ref_lens,
                                  ph, ph_lens, seq_lens, key, t_bucket)
                     return carry + jnp.sum(audio.astype(jnp.float32)), None
 
                 @jax.jit
-                def rep(key):
-                    out, _ = lax.scan(body, 0.0, jax.random.split(key, k))
+                def rep(params, codec_params, key):
+                    out, _ = lax.scan(
+                        lambda c, kk: body(c, kk, params, codec_params),
+                        0.0, jax.random.split(key, k),
+                    )
                     return out
 
                 return rep
@@ -231,9 +237,9 @@ def main() -> None:
             t1s, tks = [], []
             for i in range(runs + 1):  # first iteration warms both
                 t0 = time.perf_counter()
-                float(rep1(jax.random.PRNGKey(i)))
+                float(rep1(tts.params, tts.codec_params, jax.random.PRNGKey(i)))
                 t1 = time.perf_counter()
-                float(repk(jax.random.PRNGKey(i)))
+                float(repk(tts.params, tts.codec_params, jax.random.PRNGKey(i)))
                 t2 = time.perf_counter()
                 if i:
                     t1s.append(t1 - t0)
@@ -279,49 +285,57 @@ def main() -> None:
             ph_lens = jnp.full((bs,), len(token_ids), jnp.int32)
             seq_lens = jnp.full((bs,), seq, jnp.int32)
             ph_mask = length_mask(ph_lens, p_bucket)
-            cond0 = jax.jit(
-                lambda: encode_conditions(tts.params, tts.cfg, ref, ref_lens, ph, ph_mask)
-            )()
+            cond0 = jax.jit(encode_conditions, static_argnums=(1,))(
+                tts.params, tts.cfg, ref, ref_lens, ph, ph_mask
+            )
             lat_shape = (bs, t_bucket, tts.cfg.latent_dim)
 
-            def timeit_scan(body, k=8):
+            def timeit_scan(body, extra, k=8):
+                # `extra` (params/cond pytree) travels as a jit ARGUMENT —
+                # closing over 1.3 GB of weights bakes them into the HLO and
+                # the remote compile endpoint 413s
                 @jax.jit
-                def rep(key):
+                def rep(extra, key):
                     out, _ = lax.scan(
-                        lambda c, kk: (c + body(kk), None), 0.0,
+                        lambda c, kk: (c + body(extra, kk), None), 0.0,
                         jax.random.split(key, k),
                     )
                     return out
 
                 @jax.jit
-                def rep1(key):
-                    return body(key)
+                def rep1(extra, key):
+                    return body(extra, key)
 
                 for fn in (rep1, rep):
-                    float(fn(jax.random.PRNGKey(0)))
+                    float(fn(extra, jax.random.PRNGKey(0)))
                 t1 = []
                 tk = []
                 for i in range(1, runs + 1):
                     t0 = time.perf_counter()
-                    float(rep1(jax.random.PRNGKey(i)))
+                    float(rep1(extra, jax.random.PRNGKey(i)))
                     tm = time.perf_counter()
-                    float(rep(jax.random.PRNGKey(i)))
+                    float(rep(extra, jax.random.PRNGKey(i)))
                     t1.append(tm - t0)
                     tk.append(time.perf_counter() - tm)
                 return 1e3 * max(min(tk) - min(t1), 1e-9) / (k - 1)
 
             stages = {
-                "cond_enc_ms": timeit_scan(lambda kk: jnp.sum(
-                    encode_conditions(tts.params, tts.cfg, ref, ref_lens, ph, ph_mask)
-                    .cross_kv.k_ref.astype(jnp.float32))),
-                "denoise_ms": timeit_scan(lambda kk: jnp.sum(_sample_loop(
-                    tts.params, tts.cfg, cond0, seq_lens, t_bucket, kk,
-                    tts.num_steps, None).astype(jnp.float32))),
-                "codec_dec_ms": timeit_scan(lambda kk: jnp.sum(
-                    tts._decode_fn.__wrapped__(
-                        tts.codec_params,
-                        jax.random.normal(kk, lat_shape, jnp.float32),
-                    ).astype(jnp.float32))),
+                "cond_enc_ms": timeit_scan(
+                    lambda p, kk: jnp.sum(
+                        encode_conditions(p, tts.cfg, ref, ref_lens, ph, ph_mask)
+                        .cross_kv.k_ref.astype(jnp.float32)),
+                    tts.params),
+                "denoise_ms": timeit_scan(
+                    lambda pc, kk: jnp.sum(_sample_loop(
+                        pc[0], tts.cfg, pc[1], seq_lens, t_bucket, kk,
+                        tts.num_steps, None).astype(jnp.float32)),
+                    (tts.params, cond0)),
+                "codec_dec_ms": timeit_scan(
+                    lambda cp, kk: jnp.sum(
+                        tts._decode_fn.__wrapped__(
+                            cp, jax.random.normal(kk, lat_shape, jnp.float32)
+                        ).astype(jnp.float32)),
+                    tts.codec_params),
             }
             detail["stages_ingraph_5s_b8"] = {k: round(v, 2) for k, v in stages.items()}
             print(f"in-graph stages (5s b8): {detail['stages_ingraph_5s_b8']}",
