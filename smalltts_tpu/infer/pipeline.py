@@ -201,11 +201,21 @@ class SmallTTS:
     # ------------------------------------------------------------- public API
 
     def encode_reference(self, audio_24k: np.ndarray) -> np.ndarray:
-        """Mono 24 kHz waveform (T,) -> reference latents (T', 64)."""
+        """Mono 24 kHz waveform (T,) -> reference latents (T', 64).
+
+        The waveform pads to a SERVING_REF_BUCKET's worth of samples (not
+        just a hop multiple): otherwise every distinct clip length would be
+        a fresh XLA compile of the encoder in the request path. Truncates
+        beyond the largest bucket (~34 s) like _bucketize."""
         t = len(audio_24k)
-        pad = (-t) % HOP_SIZE
-        audio = np.pad(audio_24k.astype(np.float32), (0, pad))[None, None, :]
-        return np.asarray(self._encode_fn(self.codec_params, jnp.asarray(audio))[0])
+        frames = max(-(-t // HOP_SIZE), 1)
+        bucket = pick_bucket(frames, SERVING_REF_BUCKETS)
+        frames = min(frames, bucket)
+        audio = np.zeros((1, 1, bucket * HOP_SIZE), np.float32)
+        n = min(t, bucket * HOP_SIZE)
+        audio[0, 0, :n] = audio_24k[:n]
+        latents = np.asarray(self._encode_fn(self.codec_params, jnp.asarray(audio))[0])
+        return latents[:frames]
 
     def synthesize_padded(
         self,
@@ -278,6 +288,10 @@ class SmallTTS:
         of the grid). Returns the number of shape tuples visited. Pair with
         `enable_compilation_cache()` so repeated server startups hit the
         on-disk cache instead of recompiling."""
+        # the reference-encoder graphs (one per ref bucket) are ALSO in the
+        # request path (server: encode_reference per request)
+        for rb in r_buckets:
+            self.encode_reference(np.zeros((rb * HOP_SIZE,), np.float32))
         shapes = self.contract_shapes(batch_sizes, t_buckets, r_buckets, p_buckets)
         for i, (bs, rb, pb, tb) in enumerate(shapes):
             if progress:

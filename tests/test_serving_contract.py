@@ -80,7 +80,9 @@ def test_no_compile_after_warmup():
         batch_sizes=(1, 2), t_buckets=(16,), r_buckets=(64,), p_buckets=(128,)
     )
     warmed = tts.compile_cache_size()
+    enc_warmed = tts._encode_fn._cache_size()
     assert warmed == n == 2
+    assert enc_warmed == 1  # one encoder graph per warmed ref bucket
 
     batcher = Batcher(tts, max_batch=2)
     try:
@@ -101,6 +103,13 @@ def test_no_compile_after_warmup():
     assert tts.compile_cache_size() == warmed, (
         "request-path XLA compile detected: an in-contract request shape "
         "was not covered by warmup()"
+    )
+    # arbitrary clip lengths all reuse the bucketed encoder graph
+    for samples in (3200, 5000, 123_456, 64 * 3200):
+        lat = tts.encode_reference(np.zeros((samples,), np.float32))
+        assert lat.shape[0] == max(-(-samples // 3200), 1)
+    assert tts._encode_fn._cache_size() == enc_warmed, (
+        "encode_reference compiled per clip length (request-path compile)"
     )
 
 
