@@ -36,11 +36,30 @@ def main() -> None:
         if os.path.exists(latents_path)
         else np.random.RandomState(0).randn(16, 64).astype(np.float32)
     )
-    tts = SmallTTS(checkpoint=ckpt_path if os.path.exists(ckpt_path) else None)
+
+    from smalltts_tpu.onnxjax.pipeline import assets_present as onnx_assets
 
     tokens = get_token_ids(text)
     duration = estimate_duration(text)
-    audio = tts.synthesize(ref_latents, tokens, duration)
+    if os.path.exists(ckpt_path):
+        # converted native checkpoint: the fast bucketed pipeline
+        tts = SmallTTS(checkpoint=ckpt_path)
+        audio = tts.synthesize(ref_latents, tokens, duration)
+    elif onnx_assets(ASSETS_ROOT):
+        # the reference's PUBLISHED graphs, imported verbatim — guaranteed
+        # reference voices with zero weight mapping
+        from smalltts_tpu.onnxjax.pipeline import ImportedSmallTTS
+
+        print("using imported reference ONNX graphs (assets/dmd)", file=sys.stderr)
+        tts = ImportedSmallTTS(
+            os.path.join(ASSETS_ROOT, "dmd", "condition_encoder.onnx"),
+            os.path.join(ASSETS_ROOT, "dmd", "denoiser.onnx"),
+            os.path.join(ASSETS_ROOT, "codec", "decoder.onnx"),
+        )
+        audio = tts.synthesize(ref_latents, tokens, duration)
+    else:
+        tts = SmallTTS()  # hermetic demo: random weights
+        audio = tts.synthesize(ref_latents, tokens, duration)
 
     os.makedirs("out", exist_ok=True)
     with open("out/tryme.wav", "wb") as f:

@@ -23,4 +23,12 @@ This is the parity/quality path; the fast sub-pixel codec
 from smalltts_tpu.onnxjax.proto import load_model, parse_model
 from smalltts_tpu.onnxjax.interp import OnnxFunction
 
-__all__ = ["load_model", "parse_model", "OnnxFunction"]
+__all__ = ["load_model", "parse_model", "OnnxFunction", "ImportedSmallTTS"]
+
+
+def __getattr__(name):
+    if name == "ImportedSmallTTS":  # lazy: pulls in the sampler stack
+        from smalltts_tpu.onnxjax.pipeline import ImportedSmallTTS
+
+        return ImportedSmallTTS
+    raise AttributeError(name)
