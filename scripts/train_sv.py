@@ -32,15 +32,18 @@ def main() -> None:
     codec_params = (
         ckpt.load_pytree(args.codec_checkpoint) if args.codec_checkpoint else None
     )
-    teacher_fn = None
+    teacher_fn = teacher_params = None
     if args.teacher_checkpoint:
         from smalltts_tpu.models.sv_teacher import load_teacher, make_teacher_fn
 
-        teacher_fn = make_teacher_fn(load_teacher(args.teacher_checkpoint))
+        teacher_fn, teacher_params = make_teacher_fn(
+            load_teacher(args.teacher_checkpoint)
+        )
     train_sv(
         SVTrainConfig(num_steps=args.steps, batch_size=args.batch_size),
         codec_params=codec_params,
         teacher_fn=teacher_fn,
+        teacher_params=teacher_params,
         checkpoint_dir=args.checkpoint_dir,
         data_iter=cli_data_iter(args.data_dir, args.data_codec_checkpoint, args.batch_size),
     )

@@ -183,12 +183,16 @@ def convert_speechbrain_teacher(sd) -> dict:
 
 def make_teacher_fn(params, cfg: SVConfig = VOXCELEB_ECAPA):
     """Waveform teacher for train/sv_train.py: takes the codec's 24 kHz
-    (B, 1, T) audio, resamples in-graph, returns (B, 192) embeddings."""
+    (B, 1, T) audio, resamples in-graph, returns (B, 192) embeddings.
 
-    def teacher_fn(audio_24k: jax.Array) -> jax.Array:
-        return sv_teacher_embed(params, resample_24k_to_16k(audio_24k), cfg=cfg)
+    -> (teacher_fn(teacher_params, audio), teacher_params): the step passes
+    the frozen weights as arguments (a closure would bake ~80 MB of ECAPA
+    literals into the jitted step's HLO)."""
 
-    return teacher_fn
+    def teacher_fn(tp, audio_24k: jax.Array) -> jax.Array:
+        return sv_teacher_embed(tp, resample_24k_to_16k(audio_24k), cfg=cfg)
+
+    return teacher_fn, params
 
 
 def load_teacher(path: str):

@@ -80,22 +80,25 @@ def multi_stft_loss(a: jax.Array, b: jax.Array) -> jax.Array:
 def make_codec_distill_step(
     cfg: CodecConfig,
     train_cfg: CodecDistillConfig,
-    teacher_decode: Callable,  # (latents (B,T,64)) -> (B,1,T*hop)
-    teacher_encode: Optional[Callable],  # (audio (B,1,T)) -> (B,T',64), or None
+    teacher_decode: Callable,  # (teacher_params, latents (B,T,64)) -> (B,1,T*hop)
+    teacher_encode: Optional[Callable],  # (teacher_params, audio) -> latents, or None
     tx,
 ):
+    """Teacher params travel as a step ARGUMENT: closing over them would bake
+    hundreds of MB of frozen ONNX weights into the HLO as literals (measured
+    to overwhelm remote compilation; same failure mode as bench probes)."""
+
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, audio, key):
-        # teacher targets (frozen; ONNX codec weights are captured constants)
+    def step(params, opt_state, teacher_params, audio, key):
         if teacher_encode is not None:
-            t_latents = jax.lax.stop_gradient(teacher_encode(audio))
+            t_latents = jax.lax.stop_gradient(teacher_encode(teacher_params, audio))
             latents_for_dec = t_latents
         else:
             t_latents = None
             latents_for_dec = jax.random.normal(
                 key, (audio.shape[0], audio.shape[-1] // cfg.hop, cfg.latent_dim)
             )
-        t_audio = jax.lax.stop_gradient(teacher_decode(latents_for_dec))
+        t_audio = jax.lax.stop_gradient(teacher_decode(teacher_params, latents_for_dec))
 
         def loss_fn(p):
             out = {}
@@ -120,6 +123,15 @@ def make_codec_distill_step(
         return params, opt_state, metrics
 
     return step
+
+
+def _teacher_fns(teacher):
+    """(teacher_params, decode_fn, encode_fn|None) from an OnnxCodec-like."""
+    decode = lambda tp, lat: teacher.decode_fn(tp, lat)  # noqa: E731
+    encode = None
+    if getattr(teacher, "_enc", True) is not None:
+        encode = lambda tp, a: teacher.encode_fn(tp, a)  # noqa: E731
+    return teacher.params, decode, encode
 
 
 def synthetic_audio_iter(batch_size: int, samples: int, seed: int = 0) -> Iterator:
@@ -153,10 +165,7 @@ def train_codec_distill(
         from smalltts_tpu.onnxjax.codec import OnnxCodec
 
         teacher = OnnxCodec()
-    teacher_decode = lambda lat: teacher.decode_fn(teacher.params, lat)  # noqa: E731
-    teacher_encode = None
-    if getattr(teacher, "_enc", True) is not None:
-        teacher_encode = lambda a: teacher.encode_fn(teacher.params, a)  # noqa: E731
+    teacher_params, teacher_decode, teacher_encode = _teacher_fns(teacher)
 
     params = init_codec(jax.random.PRNGKey(seed), codec_cfg)
     tx = optax.chain(
@@ -183,7 +192,9 @@ def train_codec_distill(
     for step in range(train_cfg.num_steps):
         audio = jnp.asarray(next(data_iter))
         key, sub = jax.random.split(key)
-        params, opt_state, metrics = step_fn(params, opt_state, audio, sub)
+        params, opt_state, metrics = step_fn(
+            params, opt_state, teacher_params, audio, sub
+        )
         if step % log_every == 0:
             vals = {k: float(v) for k, v in metrics.items()}
             print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in vals.items()))

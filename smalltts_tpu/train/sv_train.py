@@ -34,21 +34,24 @@ class SVTrainConfig:
     grad_clip: float = 5.0
 
 
-def make_fallback_teacher(emb_dim: int = 192, seed: int = 1234) -> Callable:
+def make_fallback_teacher(emb_dim: int = 192, seed: int = 1234):
     """Deterministic stand-in waveform embedder (fixed random conv features +
-    stats pooling). Used when no pretrained speaker encoder is available."""
+    stats pooling). Used when no pretrained speaker encoder is available.
+
+    -> (teacher_fn(teacher_params, audio), teacher_params) — params travel
+    as step arguments everywhere (closures would bake them into the HLO)."""
     key = jax.random.PRNGKey(seed)
     w = jax.random.normal(key, (256, 1, emb_dim)) / 16.0
 
-    def teacher_fn(audio: jax.Array) -> jax.Array:  # (B, 1, T)
+    def teacher_fn(tp, audio: jax.Array) -> jax.Array:  # (B, 1, T)
         x = audio.transpose(0, 2, 1)
         feats = jax.lax.conv_general_dilated(
-            x, w, (128,), "VALID", dimension_numbers=("NHC", "HIO", "NHC")
+            x, tp["w"], (128,), "VALID", dimension_numbers=("NHC", "HIO", "NHC")
         )
         feats = jnp.tanh(feats)
         return jnp.concatenate([feats.mean(1), feats.std(1)], -1)[:, :emb_dim]
 
-    return teacher_fn
+    return teacher_fn, {"w": w}
 
 
 def _cosine_loss(x, y):
@@ -58,14 +61,18 @@ def _cosine_loss(x, y):
 
 
 def make_sv_step(cfg: SVConfig, codec_cfg: CodecConfig, tx, teacher_fn: Callable):
+    """`teacher_fn(teacher_params, audio)` — the frozen teacher's weights are
+    a step argument, never a closure (a closed-over voxceleb ECAPA would bake
+    ~80 MB of literals into the HLO)."""
+
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, codec_params, batch):
+    def step(params, opt_state, codec_params, teacher_params, batch):
         latents = batch["latents"]
         lengths = batch["latents_lengths"]
         # in-graph codec decode (the reference round-trips through an ONNX
         # session here, sv.py:56)
         audio = codec_decode(codec_params, latents, codec_cfg)
-        true_emb = jax.lax.stop_gradient(teacher_fn(audio))
+        true_emb = jax.lax.stop_gradient(teacher_fn(teacher_params, audio))
         # NaN guard on teacher embeddings (sv.py:67-71)
         bad = jnp.any(~jnp.isfinite(true_emb), axis=-1)
         true_emb = jnp.nan_to_num(true_emb)
@@ -89,7 +96,8 @@ def train_sv(
     model_cfg: SVConfig = SVConfig(),
     codec_cfg: CodecConfig = CodecConfig(),
     codec_params=None,
-    teacher_fn: Optional[Callable] = None,
+    teacher_fn: Optional[Callable] = None,  # (teacher_params, audio) -> emb
+    teacher_params=None,
     data_iter=None,
     seed: int = 0,
     checkpoint_dir: str = "assets/sv_checkpoints",
@@ -104,7 +112,8 @@ def train_sv(
     params = init_sv(key, model_cfg)
     if codec_params is None:
         codec_params = init_codec(jax.random.PRNGKey(seed + 1), codec_cfg)
-    teacher_fn = teacher_fn or make_fallback_teacher(model_cfg.emb_dim)
+    if teacher_fn is None:
+        teacher_fn, teacher_params = make_fallback_teacher(model_cfg.emb_dim)
     tx, _ = aux_optimizer(
         params, train_cfg.num_steps, 4_000, clip_norm=train_cfg.grad_clip
     )
@@ -115,7 +124,9 @@ def train_sv(
     for step in range(train_cfg.num_steps):
         batch = next(data_iter)
         batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "texts"}
-        params, opt_state, loss = step_fn(params, opt_state, codec_params, batch)
+        params, opt_state, loss = step_fn(
+            params, opt_state, codec_params, teacher_params, batch
+        )
         if step % log_every == 0:
             print(f"step {step}: sv_cosine={float(loss):.4f}")
         if step % train_cfg.save_every == 0 and step > 1:

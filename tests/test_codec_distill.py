@@ -78,8 +78,8 @@ def test_distill_step_runs_and_loss_decreases(mini_teacher):
     opt_state = tx.init(params)
     step = make_codec_distill_step(
         MINI_CFG, train_cfg,
-        lambda lat: mini_teacher.decode_fn(mini_teacher.params, lat),
-        lambda a: mini_teacher.encode_fn(mini_teacher.params, a),
+        lambda tp, lat: mini_teacher.decode_fn(tp, lat),
+        lambda tp, a: mini_teacher.encode_fn(tp, a),
         tx,
     )
     it = synthetic_audio_iter(2, 480)  # 24 frames of hop 20
@@ -88,6 +88,7 @@ def test_distill_step_runs_and_loss_decreases(mini_teacher):
     for i in range(30):
         key, sub = jax.random.split(key)
         params, opt_state, metrics = step(params, opt_state,
+                                          mini_teacher.params,
                                           jnp.asarray(next(it)), sub)
         losses.append(float(metrics["loss"]))
         assert np.isfinite(losses[-1])

@@ -139,13 +139,13 @@ def test_teacher_fn_plugs_into_sv_distillation():
     student = init_sv(jax.random.PRNGKey(2), student_cfg)
     codec = init_codec(jax.random.PRNGKey(3), TINY_CODEC)
 
-    step = make_sv_step(student_cfg, TINY_CODEC, tx,
-                        make_teacher_fn(teacher, TINY_TEACHER))
+    teacher_fn, teacher_params = make_teacher_fn(teacher, TINY_TEACHER)
+    step = make_sv_step(student_cfg, TINY_CODEC, tx, teacher_fn)
     rng = np.random.RandomState(0)
     batch = {
         "latents": jnp.asarray(rng.randn(2, 6, 64), jnp.float32),
         "latents_lengths": jnp.asarray([6, 4], jnp.int32),
     }
-    out = step(student, tx.init(student), codec, batch)
+    out = step(student, tx.init(student), codec, teacher_params, batch)
     loss = float(out[-1]) if np.ndim(out[-1]) == 0 else float(out[-1]["loss"])
     assert np.isfinite(loss)
