@@ -1,0 +1,49 @@
+"""Integral-velocity distillation CLI: 4-step student -> 1-2 step sampler.
+
+Beyond the reference (which stops at 4-step DMD); technique after
+PAPERS.md's IntMeanFlow. Start from the teacher EMA (or the DMD student),
+then sample with smalltts_tpu.train.imf.imf_sample(num_steps=1).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=40_000)
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--teacher",
+                    default="assets/teacher_checkpoints/checkpoint_ema.npz",
+                    help="teacher weights (.npz or reference torch .pt)")
+    ap.add_argument("--checkpoint-dir", default="assets/imf_checkpoints")
+    ap.add_argument("--substeps", type=int, default=4,
+                    help="teacher DDIM substeps per distilled interval")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--data-codec-checkpoint", default=None)
+    args = ap.parse_args()
+
+    from smalltts_tpu.data.local import cli_data_iter
+    from smalltts_tpu.train.imf import ImfConfig, train_imf
+    from smalltts_tpu.utils import checkpoint as ckpt
+
+    if args.teacher.endswith((".pt", ".pth", ".bin")):
+        teacher = ckpt.load_reference_backbone_checkpoint(args.teacher)
+    else:
+        teacher = ckpt.load_pytree(args.teacher)
+
+    train_imf(
+        ImfConfig(num_steps=args.steps, batch_size=args.batch_size,
+                  rollout_substeps=args.substeps),
+        teacher_params=teacher,
+        checkpoint_dir=args.checkpoint_dir,
+        data_iter=cli_data_iter(args.data_dir, args.data_codec_checkpoint,
+                                args.batch_size),
+    )
+
+
+if __name__ == "__main__":
+    main()

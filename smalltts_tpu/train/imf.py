@@ -1,0 +1,211 @@
+"""Integral-velocity distillation: 4-step DMD student -> 1-2 step sampler.
+
+Technique after IntMeanFlow (PAPERS.md: "IntMeanFlow: Few-step Speech
+Generation with Integral Velocity Distillation", arXiv 2510.07979; same
+family as MeanFlow): instead of instantaneous velocity v(x_t, t), the
+student learns the AVERAGE velocity over an interval,
+
+    u(x_t, t, r) ~= (x_t - x_r) / (t - r),
+
+where x_r comes from rolling the frozen teacher's deterministic (DDIM-style)
+trajectory from t to r. Sampling then needs one network call per interval:
+
+    x_{t_{i+1}} = x_{t_i} - (t_i - t_{i+1}) * u(x_{t_i}, t_i, t_{i+1})
+
+so a 1-step student halves-to-quarters the denoise cost that dominates
+synthesis (PERF.md: 7.2 of 11 ms at batch 8 is the 4-step loop). This goes
+BEYOND the reference, which stops at the 4-step DMD student
+(src/scripts/train/dmd2/distill.py); quality must be validated on real
+data — the in-repo tests pin the math (init identity, loss descent,
+sampler shapes), not perceptual quality.
+
+Architecture: the student is the backbone plus a zero-init elementwise gate
+`r_gate` mixing an embedding of r into the time embedding:
+
+    emb = time_emb(t) + r_gate * time_emb(r)
+
+With r_gate = 0 the student is EXACTLY the teacher's velocity net — the
+right init, since u(x,t,r) -> v(x,t) as r -> t.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from smalltts_tpu.models.backbone import (
+    BackboneConfig,
+    denoise_step,
+    encode_conditions,
+    time_embedding,
+)
+from smalltts_tpu.ops.masking import length_mask
+from smalltts_tpu.ops.schedule import get_alpha_sigma
+
+
+@dataclass(frozen=True)
+class ImfConfig:
+    num_steps: int = 40_000
+    batch_size: int = 2
+    lr: float = 1e-5
+    grad_clip: float = 1.0
+    rollout_substeps: int = 4   # teacher DDIM substeps per (t, r) interval
+    min_interval: float = 0.1
+    t_floor: float = 0.02
+    save_every: int = 800
+
+
+def init_imf_student(teacher_params) -> dict:
+    """Teacher copy + zero-init r gate (student == teacher at init)."""
+    student = dict(jax.tree.map(jnp.copy, teacher_params))
+    emb_dim = teacher_params["time_embedding"]["l2"]["w"].shape[-1]
+    student["r_gate"] = jnp.zeros((emb_dim,), jnp.float32)
+    return student
+
+
+def imf_time_emb(p, cfg: BackboneConfig, t: jax.Array, r: jax.Array) -> jax.Array:
+    te = time_embedding(p["time_embedding"], t, cfg.time_embed_dim)
+    re = time_embedding(p["time_embedding"], r, cfg.time_embed_dim)
+    return te + p["r_gate"].astype(te.dtype) * re
+
+
+def imf_velocity(p, cfg: BackboneConfig, x_t, mask, t, r, cond) -> jax.Array:
+    """Average velocity u(x_t, t, r) via the backbone with the mixed emb."""
+    return denoise_step(
+        p, cfg, x_t, mask, t, cond, t_emb=imf_time_emb(p, cfg, t, r)
+    )
+
+
+def teacher_rollout(teacher, cfg: BackboneConfig, x_t, mask, t, r, cond,
+                    substeps: int):
+    """Deterministic DDIM-style rollout of the teacher's v-prediction flow
+    from per-sample time t to r (vectors, shape (B,)): x0 = a x - s v,
+    eps = s x + a v, then re-noise at the next sub-time with the SAME eps."""
+
+    def body(i, x):
+        frac0 = i / substeps
+        frac1 = (i + 1) / substeps
+        t0 = t + (r - t) * frac0
+        t1 = t + (r - t) * frac1
+        a0, s0 = get_alpha_sigma(t0)
+        a1, s1 = get_alpha_sigma(t1)
+        v = denoise_step(teacher, cfg, x, mask, t0, cond)
+        a0 = a0[:, None, None].astype(x.dtype)
+        s0 = s0[:, None, None].astype(x.dtype)
+        x0 = a0 * x - s0 * v
+        eps = s0 * x + a0 * v
+        return a1[:, None, None].astype(x.dtype) * x0 + \
+            s1[:, None, None].astype(x.dtype) * eps
+
+    return jax.lax.fori_loop(0, substeps, body, x_t)
+
+
+def make_imf_step(cfg: BackboneConfig, tx, train_cfg: ImfConfig = ImfConfig()):
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(student, opt_state, teacher, batch, key):
+        latents = batch["latents"]
+        lengths = batch["latents_lengths"]
+        b, t_len, _ = latents.shape
+        mask = length_mask(lengths, t_len)
+        cond = encode_conditions(
+            student, cfg, batch["ref_latents"], batch["ref_latents_lengths"],
+            batch["phonemes"],
+            length_mask(batch["phonemes_lengths"], batch["phonemes"].shape[1]),
+        )
+        k_t, k_r, k_eps = jax.random.split(key, 3)
+        t = jax.random.uniform(
+            k_t, (b,), minval=train_cfg.t_floor + train_cfg.min_interval,
+            maxval=1.0,
+        )
+        r = jax.random.uniform(
+            k_r, (b,), minval=train_cfg.t_floor,
+            maxval=t - train_cfg.min_interval,
+        )
+        a, s = get_alpha_sigma(t)
+        eps = jax.random.normal(k_eps, latents.shape, latents.dtype)
+        x_t = a[:, None, None] * latents + s[:, None, None] * eps
+
+        x_r = jax.lax.stop_gradient(
+            teacher_rollout(teacher, cfg, x_t, mask, t, r, cond,
+                            train_cfg.rollout_substeps)
+        )
+        u_target = (x_t - x_r) / (t - r)[:, None, None]
+
+        def loss_fn(p):
+            u = imf_velocity(p, cfg, x_t, mask, t, r, cond)
+            per = ((u - u_target) ** 2).astype(jnp.float32)
+            per = jnp.where(mask[..., None], per, 0.0)
+            return per.sum() / jnp.maximum(mask.sum() * latents.shape[-1], 1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(student)
+        updates, opt_state = tx.update(grads, opt_state, student)
+        student = optax.apply_updates(student, updates)
+        return student, opt_state, loss
+
+    return step
+
+
+def imf_sample(student, cfg: BackboneConfig, cond, seq_lengths, t_bucket: int,
+               key, num_steps: int = 1) -> jax.Array:
+    """Few-step sampling with the integral-velocity student -> latents."""
+    b = seq_lengths.shape[0]
+    mask = length_mask(seq_lengths, t_bucket)
+    dtype = student["velocity"]["w"].dtype
+    x = jax.random.normal(key, (b, t_bucket, cfg.latent_dim), dtype)
+    ts = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
+
+    def body(i, x):
+        t0 = jnp.full((b,), ts[i], jnp.float32)
+        t1 = jnp.full((b,), ts[i + 1], jnp.float32)
+        u = imf_velocity(student, cfg, x, mask, t0, t1, cond)
+        return x - (t0 - t1)[:, None, None].astype(dtype) * u
+
+    x = jax.lax.fori_loop(0, num_steps, body, x)
+    return jnp.where(mask[..., None], x, 0.0)
+
+
+def train_imf(
+    train_cfg: ImfConfig = ImfConfig(),
+    model_cfg: BackboneConfig = None,
+    teacher_checkpoint: str = "assets/teacher_checkpoints/checkpoint_ema.npz",
+    checkpoint_dir: str = "assets/imf_checkpoints",
+    data_iter=None,
+    teacher_params=None,
+    seed: int = 0,
+    log_every: int = 100,
+):
+    from smalltts_tpu.data.dummy import get_dummy_dataloader
+    from smalltts_tpu.utils import checkpoint as ckpt
+
+    model_cfg = model_cfg or BackboneConfig()
+    if teacher_params is None:
+        teacher_params = ckpt.load_pytree(teacher_checkpoint)
+    student = init_imf_student(teacher_params)
+    tx = optax.chain(
+        optax.clip_by_global_norm(train_cfg.grad_clip),
+        optax.adamw(train_cfg.lr),
+    )
+    opt_state = tx.init(student)
+    step_fn = make_imf_step(model_cfg, tx, train_cfg)
+    data_iter = data_iter or get_dummy_dataloader(train_cfg.batch_size, seed)
+    saver = ckpt.AsyncCheckpointer()
+
+    key = jax.random.PRNGKey(seed)
+    loss = None
+    for step in range(train_cfg.num_steps):
+        batch = next(data_iter)
+        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "texts"}
+        key, sub = jax.random.split(key)
+        student, opt_state, loss = step_fn(student, opt_state, teacher_params,
+                                           batch, sub)
+        if step % log_every == 0:
+            print(f"step {step}: imf_loss={float(loss):.5f}")
+        if step % train_cfg.save_every == 0 and step > 1:
+            saver.wait()
+            saver.save_pytree(f"{checkpoint_dir}/imf_student_latest.npz", student)
+    saver.close()
+    return student, float(loss) if loss is not None else None

@@ -1,0 +1,132 @@
+"""Integral-velocity distillation (train/imf.py, after PAPERS.md
+IntMeanFlow): init identity, target math, loss descent, few-step sampler."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from smalltts_tpu.models.backbone import denoise_step, encode_conditions, init_backbone
+from smalltts_tpu.ops.masking import length_mask
+from smalltts_tpu.ops.schedule import get_alpha_sigma
+from smalltts_tpu.train.imf import (
+    ImfConfig,
+    imf_sample,
+    imf_velocity,
+    init_imf_student,
+    make_imf_step,
+    teacher_rollout,
+    train_imf,
+)
+from tests.tiny import TINY_BACKBONE
+
+
+def _randomize_velocity_head(params, key):
+    params = dict(params)
+    w = params["velocity"]["w"]
+    params["velocity"] = {"w": 0.1 * jax.random.normal(key, w.shape, w.dtype),
+                          "b": params["velocity"]["b"]}
+    return params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    teacher = _randomize_velocity_head(init_backbone(ks[0], TINY_BACKBONE), ks[1])
+    rng = np.random.RandomState(0)
+    batch = {
+        "phonemes": jnp.asarray(rng.randint(1, 198, (2, 10)), jnp.int32),
+        "phonemes_lengths": jnp.asarray([10, 6], jnp.int32),
+        "latents": jnp.asarray(rng.randn(2, 12, 64), jnp.float32),
+        "latents_lengths": jnp.asarray([12, 8], jnp.int32),
+        "ref_latents": jnp.asarray(rng.randn(2, 6, 64), jnp.float32),
+        "ref_latents_lengths": jnp.asarray([6, 4], jnp.int32),
+    }
+    cond = encode_conditions(
+        teacher, TINY_BACKBONE, batch["ref_latents"], batch["ref_latents_lengths"],
+        batch["phonemes"], length_mask(batch["phonemes_lengths"], 10),
+    )
+    return teacher, batch, cond
+
+
+def test_student_equals_teacher_velocity_at_init(setup):
+    """r_gate = 0 => u(x, t, r) == v(x, t) exactly, for any r."""
+    teacher, batch, cond = setup
+    student = init_imf_student(teacher)
+    x = batch["latents"]
+    mask = length_mask(batch["latents_lengths"], x.shape[1])
+    t = jnp.asarray([0.7, 0.3], jnp.float32)
+    r = jnp.asarray([0.2, 0.0], jnp.float32)
+    u = imf_velocity(student, TINY_BACKBONE, x, mask, t, r, cond)
+    v = denoise_step(teacher, TINY_BACKBONE, x, mask, t, cond)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-6)
+
+
+def test_rollout_single_substep_matches_ddim_update(setup):
+    """One substep of teacher_rollout is exactly the closed-form DDIM move."""
+    teacher, batch, cond = setup
+    x = batch["latents"]
+    mask = length_mask(batch["latents_lengths"], x.shape[1])
+    t = jnp.asarray([0.8, 0.8], jnp.float32)
+    r = jnp.asarray([0.4, 0.4], jnp.float32)
+    got = teacher_rollout(teacher, TINY_BACKBONE, x, mask, t, r, cond, 1)
+    a0, s0 = get_alpha_sigma(t)
+    a1, s1 = get_alpha_sigma(r)
+    v = denoise_step(teacher, TINY_BACKBONE, x, mask, t, cond)
+    a0, s0 = a0[:, None, None], s0[:, None, None]
+    a1, s1 = a1[:, None, None], s1[:, None, None]
+    x0 = a0 * x - s0 * v
+    eps = s0 * x + a0 * v
+    want = a1 * x0 + s1 * eps
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_imf_distillation_loss_decreases(setup):
+    teacher, batch, _ = setup
+    student = init_imf_student(teacher)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4))
+    opt_state = tx.init(student)
+    step = make_imf_step(TINY_BACKBONE, tx, ImfConfig(rollout_substeps=2))
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(25):
+        key, sub = jax.random.split(key)
+        student, opt_state, loss = step(student, opt_state, teacher, batch, sub)
+        losses.append(float(loss))
+        assert np.isfinite(losses[-1])
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses[:3] + losses[-3:]
+
+
+def test_few_step_sampling_shapes(setup):
+    teacher, batch, cond = setup
+    student = init_imf_student(teacher)
+    seq_lens = jnp.asarray([12, 8], jnp.int32)
+    for steps in (1, 2):
+        lat = imf_sample(student, TINY_BACKBONE, cond, seq_lens, 16,
+                         jax.random.PRNGKey(steps), num_steps=steps)
+        lat = np.asarray(lat)
+        assert lat.shape == (2, 16, 64)
+        assert np.isfinite(lat).all()
+        assert (lat[0, 12:] == 0).all()  # masked tail zeroed
+
+
+def test_train_imf_driver(tmp_path, setup):
+    teacher, batch, _ = setup
+
+    def data():
+        while True:
+            yield batch
+
+    student, loss = train_imf(
+        ImfConfig(num_steps=3, rollout_substeps=2, save_every=2),
+        model_cfg=TINY_BACKBONE,
+        teacher_params=teacher,
+        data_iter=data(),
+        checkpoint_dir=str(tmp_path),
+        log_every=1,
+    )
+    assert np.isfinite(loss)
+    assert "r_gate" in student
+    assert (tmp_path / "imf_student_latest.npz").exists()
