@@ -124,9 +124,12 @@ def test_pipeline_with_onnx_codec(mini_assets):
     )
     assert audio.shape == (b, 1, t_bucket * HOP)
     assert np.isfinite(audio).all()
-    # encode_reference flows through the ONNX encoder (pads to 3200-multiple)
+    # encode_reference flows through the ONNX encoder. It pads to the
+    # serving REF bucket at the SYSTEM hop (3200) and slices to the true
+    # frame count — 3200 samples = 1 system frame. (The mini codec's hop-20
+    # scale is a fixture artifact; the real VibeVoice hop IS 3200.)
     ref = tts.encode_reference(np.random.RandomState(2).randn(3200).astype(np.float32))
-    assert ref.shape == (3200 // HOP, LATENT)
+    assert ref.shape == (1, LATENT)
 
 
 def test_codec_auto_falls_back_to_native(tmp_path, monkeypatch):
