@@ -97,8 +97,15 @@ class SmallTTS:
         seed: int = 0,
         mesh=None,
         codec="auto",
+        sampler: str = "auto",
     ) -> None:
-        """`codec` selects the codec backend:
+        """`sampler` selects the few-step recurrence:
+        - "dmd": the reference-parity 4-step fresh-noise loop;
+        - "imf": the integral-velocity student (train/imf.py; pair with
+          num_steps=1 or 2);
+        - "auto": "imf" when the checkpoint carries the r_gate leaf.
+
+        `codec` selects the codec backend:
         - "native": the fast sub-pixel JAX codec (models/codec.py) — serving
           default;
         - "onnx" or an `onnxjax.codec.OnnxCodec` instance: the reference
@@ -166,6 +173,13 @@ class SmallTTS:
             self.codec_params = jax.device_put(
                 ckpt.cast_floating(codec_params, jnp.float32)
             )
+        if sampler == "auto":
+            sampler = "imf" if "r_gate" in backbone_params else "dmd"
+        if sampler == "imf" and num_steps == NUM_STEPS:
+            num_steps = 1  # the point of the IMF student
+        self.sampler = sampler
+        self.num_steps = num_steps
+
         if self.onnx_codec is not None:
             decode_fn = self.onnx_codec.decode_fn
             self._encode_fn = jax.jit(self.onnx_codec.encode_fn)
@@ -175,7 +189,8 @@ class SmallTTS:
             self._encode_fn = jax.jit(partial(codec_encode, cfg=self.codec_cfg))
             self._decode_fn = jax.jit(partial(codec_decode, cfg=self.codec_cfg))
         self._synthesize_fn = make_synthesize_fn(
-            self.cfg, self.codec_cfg, num_steps, decode_fn=decode_fn
+            self.cfg, self.codec_cfg, num_steps, decode_fn=decode_fn,
+            sampler=sampler,
         )
         self._key = jax.random.PRNGKey(seed + 2)
         self._cond_fn = jax.jit(partial(self._cond_encode))
@@ -190,6 +205,12 @@ class SmallTTS:
         return encode_conditions(params, self.cfg, ref_latents, ref_lengths, phonemes, ph_mask)
 
     def _denoise_loop(self, params, cond, seq_lengths, key, t_bucket: int):
+        if self.sampler == "imf":
+            from smalltts_tpu.train.imf import imf_sample
+
+            return imf_sample(
+                params, self.cfg, cond, seq_lengths, t_bucket, key, self.num_steps
+            )
         return _sample_loop(
             params, self.cfg, cond, seq_lengths, t_bucket, key, self.num_steps, None
         )

@@ -105,6 +105,7 @@ def make_synthesize_fn(
     codec_cfg: CodecConfig,
     num_steps: int = NUM_STEPS,
     decode_fn=None,
+    sampler: str = "dmd",
 ):
     """Build the fused synthesize graph: (params, codec_params, inputs) -> waveform.
 
@@ -115,9 +116,15 @@ def make_synthesize_fn(
     the native sub-pixel codec by default, or the imported VibeVoice ONNX
     decoder (onnxjax.codec.OnnxCodec.decode_fn) — either fuses into the same
     XLA program.
+
+    `sampler`: "dmd" (reference-parity 4-step fresh-noise loop) or "imf"
+    (integral-velocity few-step student, train/imf.py — params must carry
+    the r_gate leaf; 1-step denoise measured 1.6 ms vs 7.0 ms at batch 8).
     """
     if decode_fn is None:
         decode_fn = lambda cp, lat: codec_decode(cp, lat, codec_cfg)  # noqa: E731
+    if sampler not in ("dmd", "imf"):
+        raise ValueError(f"sampler must be 'dmd' or 'imf', got {sampler!r}")
 
     def _synthesize_pure(
         params,
@@ -132,9 +139,16 @@ def make_synthesize_fn(
     ):
         ph_mask = length_mask(phoneme_lengths, phonemes.shape[1])
         cond = encode_conditions(params, cfg, ref_latents, ref_lengths, phonemes, ph_mask)
-        latents = _sample_loop(
-            params, cfg, cond, seq_lengths, t_bucket, key, num_steps, None
-        )
+        if sampler == "imf":
+            from smalltts_tpu.train.imf import imf_sample
+
+            latents = imf_sample(
+                params, cfg, cond, seq_lengths, t_bucket, key, num_steps
+            )
+        else:
+            latents = _sample_loop(
+                params, cfg, cond, seq_lengths, t_bucket, key, num_steps, None
+            )
         audio = decode_fn(codec_params, latents.astype(jnp.float32))
         return audio  # (B, 1, t_bucket * hop)
 

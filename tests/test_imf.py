@@ -130,3 +130,29 @@ def test_train_imf_driver(tmp_path, setup):
     assert np.isfinite(loss)
     assert "r_gate" in student
     assert (tmp_path / "imf_student_latest.npz").exists()
+
+
+def test_smalltts_autodetects_imf_student(setup):
+    """SmallTTS(sampler='auto') routes r_gate checkpoints through the
+    1-step integral-velocity sampler, same bucketed serving surface."""
+    from smalltts_tpu.infer.pipeline import SmallTTS
+    from smalltts_tpu.models.codec import init_codec
+    from tests.tiny import TINY_CODEC
+
+    teacher, batch, _ = setup
+    student = init_imf_student(teacher)
+    tts = SmallTTS(
+        student, init_codec(jax.random.PRNGKey(5), TINY_CODEC),
+        cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
+    )
+    assert tts.sampler == "imf" and tts.num_steps == 1
+    audio = tts.synthesize(np.asarray(batch["ref_latents"][0]), [1, 2, 3], 1.0)
+    assert audio.shape == (1, 8 * 3200)
+    assert np.isfinite(audio).all()
+
+    # plain checkpoints keep the reference-parity DMD sampler
+    tts2 = SmallTTS(
+        teacher, init_codec(jax.random.PRNGKey(5), TINY_CODEC),
+        cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
+    )
+    assert tts2.sampler == "dmd" and tts2.num_steps == 4
