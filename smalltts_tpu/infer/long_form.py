@@ -84,3 +84,50 @@ def synthesize_long(tts, ref_latents: np.ndarray, text: str,
     if not parts:
         return np.zeros((1, 0), np.float32)
     return crossfade_concat(parts)
+
+
+def stream_synthesize_long(tts, ref_latents: np.ndarray, text: str,
+                           fade_ms: float = 20.0, synth=None,
+                           max_chars: int = 330):
+    """Generator of (samples,) float32 pieces whose concatenation equals
+    synthesize_long's output (crossfades applied at chunk boundaries; each
+    piece is emitted as soon as the NEXT chunk is synthesized, so playback
+    can start after the first sentence instead of after the whole text).
+
+    `synth(chunk_text) -> (1, T)` overrides the per-chunk synthesis call
+    (the server routes chunks through its batcher)."""
+    from smalltts_tpu.infer.pipeline import estimate_duration
+    from smalltts_tpu.text import get_token_ids
+
+    if synth is None:
+        def synth(chunk):
+            return tts.synthesize(
+                ref_latents, get_token_ids(chunk), estimate_duration(chunk)
+            )
+
+    fade = int(SAMPLE_RATE * fade_ms / 1e3)
+    pending = None
+    for chunk in split_sentences(text, max_chars):
+        if not chunk.strip():
+            continue
+        cur = np.asarray(synth(chunk), np.float32).reshape(-1)
+        if cur.size == 0:
+            continue
+        emit, pending = crossfade_stream_step(pending, cur, fade)
+        if emit is not None:
+            yield emit
+    if pending is not None:
+        yield pending
+
+
+def crossfade_stream_step(pending, cur, fade: int):
+    """One boundary of incremental crossfading: -> (emit|None, new_pending).
+    Concatenating all emits (+ final pending) equals crossfade_concat."""
+    if pending is None:
+        return None, cur
+    n = min(fade, len(pending), len(cur))
+    if n <= 0:
+        return pending, cur
+    ramp = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    blended = pending[-n:] * (1.0 - ramp) + cur[:n] * ramp
+    return np.concatenate([pending[:-n], blended]), cur[n:]

@@ -125,9 +125,16 @@ class TTSServer:
             )
         if method == "POST" and path == "/synthesize":
             return await self._synthesize(query, headers, body)
+        if method == "POST" and path == "/synthesize/stream":
+            return await self._synthesize(query, headers, body, stream=True)
         return 404, list(CORS_HEADERS), b"not found"
 
-    async def _synthesize(self, query, headers, body):
+    async def _synthesize(self, query, headers, body, stream: bool = False):
+        """`stream=True` (POST /synthesize/stream): long texts chunk at
+        sentence boundaries and each piece is sent the moment it's ready as
+        chunked-transfer WAV (unknown-length RIFF header) — playback starts
+        after the first sentence. The reference caps synthesis at 30 s and
+        has no streaming at all."""
         try:
             duration = float(query.get("duration", 1.0))
         except ValueError:
@@ -159,6 +166,9 @@ class TTSServer:
 
         text = fields["text"].decode("utf-8", "replace")
         loop = asyncio.get_running_loop()
+        if stream:
+            return await self._synthesize_stream(headers, samples, text,
+                                                 duration, loop)
         try:
             token_ids = await loop.run_in_executor(None, self.tokenize, text)
         except Exception as exc:
@@ -210,6 +220,86 @@ class TTSServer:
             [("content-type", "audio/wav"), *extra_headers, *CORS_HEADERS],
             wav,
         )
+
+    async def _synthesize_stream(self, headers, samples, text, duration, loop):
+        """-> (200, headers, async byte generator). Sentence chunks stream
+        as they synthesize; facilitator settlement happens BEFORE the body
+        starts (a mid-stream 402 is impossible over chunked transfer)."""
+        import struct
+
+        import numpy as np
+
+        from smalltts_tpu.infer.long_form import (
+            crossfade_stream_step,
+            split_sentences,
+        )
+        from smalltts_tpu.infer.pipeline import estimate_duration
+        from smalltts_tpu.serving.batcher import QueueFull
+
+        try:
+            batcher = await loop.run_in_executor(None, self._ensure_pipeline)
+            ref_latents = await loop.run_in_executor(
+                None, self._tts.encode_reference, samples
+            )
+        except Exception as exc:
+            return 500, list(CORS_HEADERS), f"inference failed: {exc}".encode()
+
+        extra_headers = []
+        if self.gate.settles:
+            receipt = await loop.run_in_executor(
+                None, self.gate.settle, headers.get("x-payment", ""), duration
+            )
+            if receipt is None:
+                _, challenge = self.gate.check({}, duration, "/synthesize/stream")
+                return (402, [("payment-required", challenge), *CORS_HEADERS],
+                        b"payment settlement failed")
+            extra_headers.append(("x-payment-response", receipt))
+
+        sr = 24_000
+        fade = int(sr * 20 / 1e3)
+
+        def wav_header_unknown_len() -> bytes:
+            # RIFF with 0xFFFFFFFF sizes: the streaming convention players
+            # accept when total length is unknown up front
+            return struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 0xFFFFFFFF, b"WAVE",
+                b"fmt ", 16, 1, 1, sr, sr * 2, 2, 16,
+                b"data", 0xFFFFFFFF,
+            )
+
+        def pcm(x: "np.ndarray") -> bytes:
+            x = np.clip(np.asarray(x, np.float32).reshape(-1), -1.0, 1.0)
+            return np.rint(x * 32767.0).astype("<i2").tobytes()
+
+        async def gen():
+            yield wav_header_unknown_len()
+            pending = None
+            t0 = time.perf_counter()
+            for chunk in split_sentences(text):
+                if not chunk.strip():
+                    continue
+                tokens = await loop.run_in_executor(None, self.tokenize, chunk)
+                if not tokens:
+                    continue
+                try:
+                    fut = batcher.submit(ref_latents, tokens,
+                                         estimate_duration(chunk))
+                    audio = await asyncio.wrap_future(fut)
+                except QueueFull:
+                    self.stats.rejected += 1
+                    return  # truncate stream; client sees early EOF
+                cur = np.asarray(audio, np.float32).reshape(-1)
+                emit, pending = crossfade_stream_step(pending, cur, fade)
+                if emit is not None:
+                    yield pcm(emit)
+            if pending is not None:
+                yield pcm(pending)
+            self.stats.requests += 1
+            self.stats.synth_ms.append((time.perf_counter() - t0) * 1e3)
+
+        return 200, [("content-type", "audio/wav"), *extra_headers,
+                     *CORS_HEADERS], gen()
 
     # ------------------------------------------------------------ transport
 
@@ -271,7 +361,11 @@ class TTSServer:
                 status, hdrs, payload = await self.handle(
                     method, parsed.path, query, headers, body
                 )
-                await self._respond(writer, status, hdrs, payload)
+                if isinstance(payload, (bytes, bytearray)):
+                    await self._respond(writer, status, hdrs, payload)
+                else:  # async byte generator -> chunked transfer encoding
+                    await self._respond_chunked(writer, status, hdrs, payload)
+                    break  # chunked stream ends the connection
                 if headers.get("connection", "").lower() == "close":
                     break
         except (asyncio.IncompleteReadError, ConnectionResetError,
@@ -279,6 +373,27 @@ class TTSServer:
             pass
         finally:
             writer.close()
+
+    @staticmethod
+    async def _respond_chunked(writer, status: int, headers, agen) -> None:
+        """HTTP/1.1 chunked transfer of an async byte generator."""
+        reason = {200: "OK"}.get(status, "")
+        lines = [f"HTTP/1.1 {status} {reason}"]
+        lines += [f"{k}: {v}" for k, v in headers]
+        lines.append("transfer-encoding: chunked")
+        lines.append("connection: close")
+        lines.append("\r\n")
+        writer.write("\r\n".join(lines).encode())
+        await writer.drain()
+        try:
+            async for piece in agen:
+                if not piece:
+                    continue
+                writer.write(f"{len(piece):x}\r\n".encode() + piece + b"\r\n")
+                await writer.drain()
+        finally:
+            writer.write(b"0\r\n\r\n")
+            await writer.drain()
 
     @staticmethod
     async def _respond(writer, status: int, headers, body: bytes) -> None:

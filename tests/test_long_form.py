@@ -86,3 +86,29 @@ def test_batcher_concurrent_stress(tts):
         assert audio.shape == (1, expected), (d, audio.shape)
         assert np.isfinite(audio).all()
     batcher.close()
+
+
+def test_stream_equals_batch_concat():
+    """Streamed pieces concatenate to exactly synthesize_long's waveform
+    when the per-chunk synthesis is deterministic."""
+    import numpy as np
+
+    from smalltts_tpu.infer.long_form import (
+        crossfade_concat,
+        split_sentences,
+        stream_synthesize_long,
+    )
+
+    rng = np.random.RandomState(0)
+    text = "First sentence here. Second one follows! A third, even."
+    chunks = split_sentences(text, max_chars=25)
+    assert len(chunks) >= 2
+    parts = {c: rng.randn(1, 2000 + 500 * i).astype(np.float32)
+             for i, c in enumerate(chunks)}
+
+    want = crossfade_concat([parts[c] for c in chunks]).reshape(-1)
+    pieces = list(stream_synthesize_long(None, None, text,
+                                         synth=lambda c: parts[c],
+                                         max_chars=25))
+    np.testing.assert_allclose(np.concatenate(pieces), want, atol=1e-6)
+    assert len(pieces) >= 2

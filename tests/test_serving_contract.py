@@ -353,3 +353,89 @@ def test_long_reference_clone_through_pipeline():
     audio = tts.synthesize(ref, [1, 2, 3], 1.0)
     assert audio.shape == (1, 8 * 3200)
     assert np.isfinite(audio).all()
+
+
+def test_streaming_long_form_endpoint():
+    """POST /synthesize/stream: chunked-transfer WAV whose pieces arrive per
+    sentence; total PCM equals the crossfaded long-form length."""
+    import jax
+
+    from smalltts_tpu.data.bucketing import frames_for_duration
+    from smalltts_tpu.infer.pipeline import SmallTTS, estimate_duration
+    from smalltts_tpu.models.backbone import init_backbone
+    from smalltts_tpu.models.codec import init_codec
+    from smalltts_tpu.serving.server import TTSServer
+    from smalltts_tpu.serving.x402 import X402Config
+    from tests.tiny import TINY_BACKBONE, TINY_CODEC
+
+    tts = SmallTTS(
+        init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE),
+        init_codec(jax.random.PRNGKey(1), TINY_CODEC),
+        cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
+    )
+    server = TTSServer(tts=tts, x402_cfg=X402Config(mode="disabled"),
+                       tokenizer=lambda t: [1, 2, 3])
+    port, loop = _start_server(server)
+    try:
+        # two sentences too long to merge (max_chars 330)
+        s1 = "alpha " * 33  # ~198 chars
+        s2 = "bravo " * 33
+        text = s1.strip() + ". " + s2.strip() + "."
+        import struct
+
+        sr = 24_000
+        pcm16 = (np.zeros(sr, np.float32) * 32767).astype("<i2").tobytes()
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm16)) + b"WAVEfmt "
+               + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+               + b"data" + struct.pack("<I", len(pcm16)) + pcm16)
+        boundary = "SB"
+        body = (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="audio"\r\n\r\n'
+        ).encode() + wav + (
+            f"\r\n--{boundary}\r\n"
+            'Content-Disposition: form-data; name="text"\r\n\r\n'
+            + text + "\r\n"
+            f"--{boundary}--\r\n"
+        ).encode()
+        req = (
+            f"POST /synthesize/stream?duration=3 HTTP/1.1\r\nhost: x\r\n"
+            f"content-type: multipart/form-data; boundary={boundary}\r\n"
+            f"content-length: {len(body)}\r\n\r\n"
+        ).encode() + body
+
+        s = socket.create_connection(("127.0.0.1", port), timeout=300)
+        s.sendall(req)
+        s.settimeout(300)
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            buf += s.recv(65536)
+        head, rest = buf.split(b"\r\n\r\n", 1)
+        assert b"200" in head.split(b"\r\n")[0]
+        assert b"transfer-encoding: chunked" in head.lower()
+
+        # drain chunked body
+        pieces = []
+        buf = rest
+        while True:
+            while b"\r\n" not in buf:
+                buf += s.recv(65536)
+            size_line, buf = buf.split(b"\r\n", 1)
+            size = int(size_line, 16)
+            if size == 0:
+                break
+            while len(buf) < size + 2:
+                buf += s.recv(65536)
+            pieces.append(buf[:size])
+            buf = buf[size + 2:]
+        s.close()
+
+        assert len(pieces) >= 3  # wav header + >=2 sentence pieces
+        assert pieces[0][:4] == b"RIFF"
+        assert struct.unpack("<I", pieces[0][4:8])[0] == 0xFFFFFFFF
+        per_chunk = frames_for_duration(estimate_duration(s1.strip() + ".")) * 3200
+        fade = int(24_000 * 20 / 1e3)
+        total_pcm = sum(len(p) for p in pieces[1:]) // 2
+        assert total_pcm == 2 * per_chunk - fade, (total_pcm, per_chunk)
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
