@@ -16,6 +16,10 @@ __version__ = "0.1.0"
 
 _LAZY = {
     "SmallTTS": ("smalltts_tpu.infer.pipeline", "SmallTTS"),
+    # the reference's published ONNX graphs, imported and fused on TPU
+    "ImportedSmallTTS": ("smalltts_tpu.onnxjax.pipeline", "ImportedSmallTTS"),
+    "OnnxCodec": ("smalltts_tpu.onnxjax.codec", "OnnxCodec"),
+    "estimate_duration": ("smalltts_tpu.infer.pipeline", "estimate_duration"),
 }
 
 
@@ -28,4 +32,4 @@ def __getattr__(name):  # lazy import to keep `import smalltts_tpu` light
     raise AttributeError(f"module 'smalltts_tpu' has no attribute {name!r}")
 
 
-__all__ = ["SmallTTS", "__version__"]
+__all__ = ["SmallTTS", "ImportedSmallTTS", "OnnxCodec", "estimate_duration", "__version__"]
