@@ -70,6 +70,7 @@ class TTSServer:
     ) -> None:
         self._tts = tts
         self.read_timeout_s = read_timeout_s
+        self._draining = False
         self.gate = X402Gate(x402_cfg)
         self.stats = ServerStats()
         self.audio = _audio_backend()
@@ -102,6 +103,14 @@ class TTSServer:
             return 200, list(CORS_HEADERS), b""
         if method == "GET" and path == "/health":
             return 200, list(CORS_HEADERS), b"ok"
+        if method == "GET" and path == "/ready":
+            # readiness (vs liveness): 503 until the pipeline exists and the
+            # batcher is accepting — load balancers gate traffic on this so
+            # a cold replica never eats requests mid-compile
+            if self._batcher is not None and not self._draining:
+                return 200, list(CORS_HEADERS), b"ready"
+            return (503, [("retry-after", "5"), *CORS_HEADERS],
+                    b"draining" if self._draining else b"pipeline not warmed")
         if method == "GET" and path == "/stats":
             ms = sorted(self.stats.synth_ms)
             p50 = ms[len(ms) // 2] if ms else 0.0
@@ -409,11 +418,36 @@ class TTSServer:
         writer.write("\r\n".join(lines).encode() + body)
         await writer.drain()
 
+    async def shutdown(self) -> None:
+        """Graceful drain: flip /ready to 503 (load balancers stop routing),
+        let in-flight batches finish, then close the batcher."""
+        self._draining = True
+        if self._batcher is not None:
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(None, self._batcher.close)
+
     async def run(self, host: str = "0.0.0.0", port: int = 3000) -> None:
+        import signal
+
         server = await asyncio.start_server(self._serve_conn, host, port)
         print(f"listening on {host}:{port}")
+        stop = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                loop.add_signal_handler(sig, stop.set)
+            except (NotImplementedError, RuntimeError):
+                pass  # e.g. non-main thread
         async with server:
-            await server.serve_forever()
+            serve_task = asyncio.ensure_future(server.serve_forever())
+            stop_task = asyncio.ensure_future(stop.wait())
+            done, _ = await asyncio.wait(
+                {serve_task, stop_task}, return_when=asyncio.FIRST_COMPLETED
+            )
+            if stop_task in done:
+                print("shutdown signal: draining in-flight requests")
+                await self.shutdown()
+                serve_task.cancel()
 
 
 def main() -> None:

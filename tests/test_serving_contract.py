@@ -439,3 +439,45 @@ def test_streaming_long_form_endpoint():
         assert total_pcm == 2 * per_chunk - fade, (total_pcm, per_chunk)
     finally:
         loop.call_soon_threadsafe(loop.stop)
+
+
+def test_ready_endpoint_lifecycle():
+    """503 before the pipeline exists, 200 once batched serving is live,
+    503 again while draining."""
+    import asyncio
+
+    from smalltts_tpu.serving.server import TTSServer
+    from smalltts_tpu.serving.x402 import X402Config
+
+    server = TTSServer(x402_cfg=X402Config(mode="disabled"))
+    loop = asyncio.new_event_loop()
+    try:
+        status, _, body = loop.run_until_complete(
+            server.handle("GET", "/ready", {}, {}, b""))
+        assert status == 503 and b"not warmed" in body
+
+        class _Fast:
+            def synthesize_padded(self, *a, **k):
+                import numpy as np
+                return np.zeros((a[0].shape[0], 1, int(a[5]) * 3200), np.float32)
+
+            def encode_reference(self, x):
+                import numpy as np
+                return np.zeros((4, 64), np.float32)
+
+        server._tts = _Fast()
+        server._ensure_pipeline()
+        status, _, _ = loop.run_until_complete(
+            server.handle("GET", "/ready", {}, {}, b""))
+        assert status == 200
+
+        loop.run_until_complete(server.shutdown())
+        status, _, body = loop.run_until_complete(
+            server.handle("GET", "/ready", {}, {}, b""))
+        assert status == 503 and b"draining" in body
+        # liveness stays green throughout
+        status, _, _ = loop.run_until_complete(
+            server.handle("GET", "/health", {}, {}, b""))
+        assert status == 200
+    finally:
+        loop.close()
