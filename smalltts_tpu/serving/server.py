@@ -484,6 +484,8 @@ def main() -> None:
             print(f"warmed {n} executables; in-contract requests never compile")
     srv = TTSServer(tts=tts, x402_cfg=X402Config(mode=args.payments),
                     max_batch=args.max_batch)
+    if tts is not None:
+        srv._ensure_pipeline()  # warmed servers report /ready immediately
     asyncio.run(srv.run(args.host, args.port))
 
 
