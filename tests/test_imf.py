@@ -156,3 +156,26 @@ def test_smalltts_autodetects_imf_student(setup):
         cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
     )
     assert tts2.sampler == "dmd" and tts2.num_steps == 4
+
+
+def test_imf_step_on_dp_mesh(setup):
+    """The IMF distillation step shards over the virtual dp mesh (same
+    proof standard as the teacher/DMD2 steps in dryrun_multichip)."""
+    from smalltts_tpu.parallel.mesh import (
+        make_mesh,
+        replicated,
+        shard_batch,
+        shard_params,
+    )
+
+    teacher, batch, _ = setup
+    mesh = make_mesh(dp=2, tp=1, devices=jax.devices()[:2])
+    teacher_s = shard_params(teacher, mesh)
+    student = shard_params(init_imf_student(teacher), mesh)
+    tx = optax.adamw(1e-4)
+    opt_state = replicated(tx.init(student), mesh)
+    step = make_imf_step(TINY_BACKBONE, tx, ImfConfig(rollout_substeps=2))
+    sharded = shard_batch(dict(batch), mesh)
+    student, opt_state, loss = step(student, opt_state, teacher_s, sharded,
+                                    jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
