@@ -250,8 +250,15 @@ class SmallTTS:
         fetch: bool = True,
     ):
         """Batched bucket-padded synthesis -> (B, 1, t_bucket*HOP) waveform.
-        This is the server batcher's entry point. `fetch=False` leaves the
-        result on device (benchmarks; slow-transfer links)."""
+
+        This is the server batcher's entry point. `fetch=False` returns the
+        device array WITHOUT waiting for completion — dispatch is async, so
+        back-to-back calls pipeline on the device. On a tunneled TPU a
+        per-call sync costs a full ~30 ms round trip; measured at 5 s/batch 8
+        the pipelined dispatch rate is 11.6 ms/call vs 41 ms/call when each
+        call blocks (the device compute itself is ~11 ms). Callers force
+        completion exactly once, when they consume the result (np.asarray /
+        block_until_ready)."""
         inputs = (
             jnp.asarray(ref_latents, self.dtype),
             jnp.asarray(ref_lengths, jnp.int32),
@@ -275,7 +282,7 @@ class SmallTTS:
             t_bucket=t_bucket,
         )
         if not fetch:
-            return jax.block_until_ready(audio)
+            return audio
         return np.asarray(jax.device_get(audio))
 
     def contract_shapes(

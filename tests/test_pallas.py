@@ -44,3 +44,76 @@ def test_fused_attention_odd_head_dim():
     ref = nn.sdpa(q, k, v, key_mask=mask)
     out = fused_attention(q, k, v, mask, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+# ------------------------------------------------------------------ w8 kernels
+
+
+from smalltts_tpu.ops.pallas.w8 import (  # noqa: E402
+    quantize_w8,
+    w8_matmul,
+    w8_matmul_ref,
+    w8_matmul_stacked,
+)
+
+
+@pytest.mark.parametrize("m,k,n", [(320, 960, 2880), (40, 2400, 960), (8, 960, 5760)])
+def test_w8_matmul_matches_ref(m, k, n):
+    kx, kw = jax.random.split(jax.random.PRNGKey(2))
+    x = jax.random.normal(kx, (m, k), jnp.float32)
+    w = jax.random.normal(kw, (k, n), jnp.float32) * 0.02
+    w_q, scale = quantize_w8(w)
+    ref = w8_matmul_ref(x, w_q, scale)
+    out = w8_matmul(x, w_q, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_w8_quantization_error_bounded():
+    """int8 per-channel weight rounding keeps the matmul within ~1% relative
+    error of the fp32 product on gaussian data — the quality budget the
+    opt-in quantized serving path relies on."""
+    kx, kw = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.random.normal(kx, (64, 960), jnp.float32)
+    w = jax.random.normal(kw, (960, 960), jnp.float32) * 0.02
+    exact = x @ w
+    w_q, scale = quantize_w8(w)
+    approx = w8_matmul_ref(x, w_q, scale)
+    rel = np.linalg.norm(np.asarray(approx) - np.asarray(exact)) / np.linalg.norm(
+        np.asarray(exact)
+    )
+    assert rel < 0.01, rel
+
+
+def test_w8_matmul_stacked_picks_layer():
+    l, m, k, n = 5, 32, 256, 384
+    kx, kw = jax.random.split(jax.random.PRNGKey(4))
+    x = jax.random.normal(kx, (m, k), jnp.float32)
+    w = jax.random.normal(kw, (l, k, n), jnp.float32) * 0.05
+    w_q, scale = quantize_w8(w)
+    for idx in (0, 2, 4):
+        ref = w8_matmul_ref(x, w_q[idx], scale[idx])
+        out = w8_matmul_stacked(x, w_q, scale, jnp.int32(idx), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_w8_matmul_stacked_inside_scan():
+    """The serving integration runs the stacked kernel inside lax.scan over
+    the layer index — the scalar-prefetch index_map must trace correctly."""
+    l, m, k, n = 4, 16, 128, 256
+    kx, kw = jax.random.split(jax.random.PRNGKey(5))
+    x = jax.random.normal(kx, (m, k), jnp.float32)
+    w = jax.random.normal(kw, (l, k, n), jnp.float32) * 0.05
+    w_q, scale = quantize_w8(w)
+
+    def body(carry, idx):
+        y = w8_matmul_stacked(carry[:, :k], w_q, scale, idx, interpret=True)
+        return carry, y
+
+    _, ys = jax.lax.scan(body, x, jnp.arange(l))
+    for idx in range(l):
+        ref = w8_matmul_ref(x, w_q[idx], scale[idx])
+        np.testing.assert_allclose(
+            np.asarray(ys[idx]), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
