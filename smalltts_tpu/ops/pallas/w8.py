@@ -110,7 +110,7 @@ def _w8_stacked_kernel(idx_ref, x_ref, w_ref, s_ref, o_ref):
     x = x_ref[:]
     w = w_ref[0].astype(x.dtype)
     acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    o_ref[:] = (acc * s_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[:] = (acc * s_ref[0, 0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -124,6 +124,10 @@ def w8_matmul_stacked(
     m, k = x.shape
     l, kk, n = w_q.shape
     assert k == kk and scale.shape == (l, n)
+    # scale travels as (L, 1, N): the TPU lowering requires the trailing two
+    # block dims be (8, 128)-divisible OR equal to the array dims — (1, N)
+    # blocks of an (L, N) array are neither
+    scale3 = scale[:, None, :]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -132,7 +136,7 @@ def w8_matmul_stacked(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, n), lambda i, idx_ref: (idx_ref[0], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i, idx_ref: (idx_ref[0], 0),
+            pl.BlockSpec((1, 1, n), lambda i, idx_ref: (idx_ref[0], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((m, n), lambda i, idx_ref: (0, 0),
@@ -149,4 +153,4 @@ def w8_matmul_stacked(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(jnp.asarray(idx, jnp.int32).reshape(1), x, w_q, scale)
+    )(jnp.asarray(idx, jnp.int32).reshape(1), x, w_q, scale3)
