@@ -99,20 +99,29 @@ class LocalDataset:
             tokenizer = get_token_ids
         self.cfg = cfg
         pairs = scan_corpus(root)
-        clips: List[np.ndarray] = []
-        tokens: List[np.ndarray] = []
-        for wav_path, text in pairs:
+
+        # corpus prep is decode+resample bound; the C++/numpy audio backend
+        # releases the GIL, so a thread pool scales with cores
+        def prep(pair):
+            wav_path, text = pair
             audio = audio_io.decode_and_resample(
                 open(wav_path, "rb").read(), cfg.sample_rate
             )
             n = (len(audio) // cfg.hop) * cfg.hop
             if n < cfg.min_latents * cfg.hop:
-                continue
+                return None
             ids = np.asarray(tokenizer(text), np.int32)[: cfg.max_phonemes]
             if len(ids) == 0:
-                continue
-            clips.append(audio[:n].astype(np.float32))
-            tokens.append(ids)
+                return None
+            return audio[:n].astype(np.float32), ids
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(len(pairs), max(2, (os.cpu_count() or 2)))
+        with ThreadPoolExecutor(workers) as pool:
+            prepped = [p for p in pool.map(prep, pairs) if p is not None]
+        clips: List[np.ndarray] = [c for c, _ in prepped]
+        tokens: List[np.ndarray] = [t for _, t in prepped]
         if not clips:
             raise ValueError(
                 f"all clips under {root!r} shorter than "

@@ -531,3 +531,57 @@ def test_dispatch_fetch_pipelining():
     idx = {e: i for i, e in enumerate(events) if e in order}
     assert ("dispatch", 2) in idx and ("fetch_done", 1) in idx, events
     assert idx[("dispatch", 2)] < idx[("fetch_done", 1)], events
+
+
+def test_fetch_error_propagates_to_waiters():
+    """An exception raised while materializing a dispatched batch (e.g. a
+    device OOM surfacing at fetch time under async dispatch) must reject
+    that group's futures, and the batcher must keep serving."""
+
+    class _Boom:
+        def __init__(self, n):
+            self.n = n
+
+        def __array__(self, dtype=None, copy=None):
+            if self.n == 1:
+                raise RuntimeError("device exploded at fetch")
+            return np.zeros((1, 1, 16 * 3200), np.float32)
+
+    class _TTS:
+        def __init__(self):
+            self.n = 0
+
+        def synthesize_padded(self, ref, ref_lens, ph, ph_lens, seq_lens,
+                              t_bucket, key=None, fetch=True):
+            self.n += 1
+            return _Boom(self.n)
+
+    b = Batcher(_TTS(), max_batch=1, window_ms=0.0)
+    try:
+        f1 = b.submit(np.zeros((4, 64), np.float32), [1], 1.0)
+        with pytest.raises(RuntimeError, match="device exploded"):
+            f1.result(timeout=30)
+        f2 = b.submit(np.zeros((4, 64), np.float32), [1], 1.0)
+        assert f2.result(timeout=30).shape[0] == 1  # still serving
+    finally:
+        b.close()
+
+
+def test_close_drains_inflight_work():
+    """close() must not drop dispatched-but-unfetched groups."""
+
+    class _SlowFetch:
+        def __array__(self, dtype=None, copy=None):
+            time.sleep(0.2)
+            return np.zeros((1, 1, 16 * 3200), np.float32)
+
+    class _TTS:
+        def synthesize_padded(self, *a, **k):
+            return _SlowFetch()
+
+    b = Batcher(_TTS(), max_batch=1, window_ms=0.0)
+    futs = [b.submit(np.zeros((4, 64), np.float32), [1], 1.0) for _ in range(3)]
+    time.sleep(0.05)  # let dispatch happen
+    b.close()
+    for f in futs:
+        assert f.result(timeout=30).shape[0] == 1
