@@ -18,8 +18,10 @@ from __future__ import annotations
 
 import asyncio
 import json
+import threading
 import time
 import urllib.parse
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Callable, Dict, Optional
 
@@ -54,6 +56,8 @@ def _audio_backend():
 class ServerStats:
     requests: int = 0
     rejected: int = 0  # 503s from batcher backpressure
+    ref_cache_hits: int = 0
+    ref_cache_misses: int = 0
     synth_ms: "object" = field(
         default_factory=lambda: __import__("collections").deque(maxlen=STATS_WINDOW)
     )
@@ -67,9 +71,23 @@ class TTSServer:
         tokenizer: Optional[Callable] = None,
         max_batch: int = 8,
         read_timeout_s: float = READ_TIMEOUT_S,
+        ref_cache_size: int = 64,
     ) -> None:
         self._tts = tts
         self.read_timeout_s = read_timeout_s
+        # dedicated pool for host-side request work (phonemize, reference
+        # encode, settle): the event loop's DEFAULT executor is process-wide
+        # shared state — an embedding application can exhaust it and starve
+        # the server (observed in a load test whose client threads shared it)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(16, thread_name_prefix="tts-host")
+        # reference-latents LRU: serving traffic overwhelmingly reuses a few
+        # voices, and each encode is a full device round trip (~35 ms on a
+        # tunneled TPU) — cache by decoded-audio content hash
+        self._ref_cache: "OrderedDict" = OrderedDict()
+        self._ref_cache_lock = threading.Lock()
+        self.ref_cache_size = ref_cache_size
         self._draining = False
         self.gate = X402Gate(x402_cfg)
         self.stats = ServerStats()
@@ -93,6 +111,24 @@ class TTSServer:
                 self._tts = SmallTTS()
             self._batcher = Batcher(self._tts, max_batch=self._max_batch)
         return self._batcher
+
+    def _encode_reference_cached(self, samples) -> "object":
+        """encode_reference with a content-hash LRU (thread-safe)."""
+        import hashlib
+
+        key = hashlib.sha1(samples.tobytes()).hexdigest()
+        with self._ref_cache_lock:
+            if key in self._ref_cache:
+                self._ref_cache.move_to_end(key)
+                self.stats.ref_cache_hits += 1
+                return self._ref_cache[key]
+        latents = self._tts.encode_reference(samples)
+        with self._ref_cache_lock:
+            self.stats.ref_cache_misses += 1
+            self._ref_cache[key] = latents
+            while len(self._ref_cache) > self.ref_cache_size:
+                self._ref_cache.popitem(last=False)
+        return latents
 
     # ------------------------------------------------------------- handlers
 
@@ -122,6 +158,8 @@ class TTSServer:
                     {"requests": self.stats.requests,
                      "rejected": self.stats.rejected,
                      "pending": self._batcher.pending() if self._batcher else 0,
+                     "ref_cache_hits": self.stats.ref_cache_hits,
+                     "ref_cache_misses": self.stats.ref_cache_misses,
                      "synth_ms_p50": round(p50, 2),
                      "synth_ms_p95": round(p95, 2)}
                 ).encode(),
@@ -179,7 +217,7 @@ class TTSServer:
             return await self._synthesize_stream(headers, samples, text,
                                                  duration, loop)
         try:
-            token_ids = await loop.run_in_executor(None, self.tokenize, text)
+            token_ids = await loop.run_in_executor(self._pool, self.tokenize, text)
         except Exception as exc:
             return 500, list(CORS_HEADERS), f"phonemize failed: {exc}".encode()
 
@@ -189,9 +227,9 @@ class TTSServer:
         try:
             # pipeline construction can compile for minutes — never block the
             # event loop (use server --warmup to pay this at startup)
-            batcher = await loop.run_in_executor(None, self._ensure_pipeline)
+            batcher = await loop.run_in_executor(self._pool, self._ensure_pipeline)
             ref_latents = await loop.run_in_executor(
-                None, self._tts.encode_reference, samples
+                self._pool, self._encode_reference_cached, samples
             )
             fut = batcher.submit(ref_latents, token_ids, duration)
             audio = await asyncio.wrap_future(fut)
@@ -212,7 +250,7 @@ class TTSServer:
             # capture-after-serve (reference x402-axum order: verify ->
             # handler -> settle; failed capture returns 402, main.rs:60-79)
             receipt = await loop.run_in_executor(
-                None, self.gate.settle, headers.get("x-payment", ""), duration
+                self._pool, self.gate.settle, headers.get("x-payment", ""), duration
             )
             if receipt is None:
                 _, challenge = self.gate.check({}, duration, "/synthesize")
@@ -246,9 +284,9 @@ class TTSServer:
         from smalltts_tpu.serving.batcher import QueueFull
 
         try:
-            batcher = await loop.run_in_executor(None, self._ensure_pipeline)
+            batcher = await loop.run_in_executor(self._pool, self._ensure_pipeline)
             ref_latents = await loop.run_in_executor(
-                None, self._tts.encode_reference, samples
+                self._pool, self._encode_reference_cached, samples
             )
         except Exception as exc:
             return 500, list(CORS_HEADERS), f"inference failed: {exc}".encode()
@@ -256,7 +294,7 @@ class TTSServer:
         extra_headers = []
         if self.gate.settles:
             receipt = await loop.run_in_executor(
-                None, self.gate.settle, headers.get("x-payment", ""), duration
+                self._pool, self.gate.settle, headers.get("x-payment", ""), duration
             )
             if receipt is None:
                 _, challenge = self.gate.check({}, duration, "/synthesize/stream")
@@ -288,7 +326,7 @@ class TTSServer:
             for chunk in split_sentences(text):
                 if not chunk.strip():
                     continue
-                tokens = await loop.run_in_executor(None, self.tokenize, chunk)
+                tokens = await loop.run_in_executor(self._pool, self.tokenize, chunk)
                 if not tokens:
                     continue
                 try:
@@ -424,7 +462,7 @@ class TTSServer:
         self._draining = True
         if self._batcher is not None:
             loop = asyncio.get_running_loop()
-            await loop.run_in_executor(None, self._batcher.close)
+            await loop.run_in_executor(self._pool, self._batcher.close)
 
     async def run(self, host: str = "0.0.0.0", port: int = 3000) -> None:
         import signal

@@ -314,3 +314,49 @@ def test_batcher_groups_by_bucket():
     assert ref.shape[0] == b_bucket == 8
     assert t_bucket == 16
     assert ref.shape[1] == 64  # smallest SERVING_REF_BUCKET
+
+
+def test_reference_latents_lru_cache():
+    """Repeated reference audio skips the encode round trip (content-hash
+    LRU); distinct audio misses; the cache stays bounded."""
+    import jax
+
+    from tiny import TINY_BACKBONE, TINY_CODEC
+    from smalltts_tpu.infer.pipeline import SmallTTS
+    from smalltts_tpu.models.backbone import init_backbone
+    from smalltts_tpu.models.codec import init_codec
+
+    tts = SmallTTS(
+        init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE),
+        init_codec(jax.random.PRNGKey(1), TINY_CODEC),
+        cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
+    )
+    server = TTSServer(tts=tts, x402_cfg=X402Config(mode="disabled"),
+                       tokenizer=lambda text: [1, 2, 3], ref_cache_size=2)
+
+    def req(freq):
+        boundary = "XB"
+        wav = make_sine_wav(0.6, freq=freq)
+        body = (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="audio"\r\n\r\n'
+        ).encode() + wav + (
+            f"\r\n--{boundary}\r\n"
+            'Content-Disposition: form-data; name="text"\r\n\r\nhi\r\n'
+            f"--{boundary}--\r\n"
+        ).encode()
+        status, _, out = run(server.handle(
+            "POST", "/synthesize", {"duration": "1.0"},
+            {"content-type": f"multipart/form-data; boundary={boundary}"}, body,
+        ))
+        assert status == 200, out
+
+    req(440.0)
+    req(440.0)   # hit
+    req(880.0)   # miss
+    req(220.0)   # miss -> evicts 440
+    req(440.0)   # miss again (evicted)
+    assert server.stats.ref_cache_hits == 1
+    assert server.stats.ref_cache_misses == 4
+    assert len(server._ref_cache) == 2
+    server._batcher.close()
