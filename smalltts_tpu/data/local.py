@@ -117,6 +117,7 @@ class LocalDataset:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        tokenizer("a")  # construct the (espeak) backend once, serially
         workers = min(len(pairs), max(2, (os.cpu_count() or 2)))
         with ThreadPoolExecutor(workers) as pool:
             prepped = [p for p in pool.map(prep, pairs) if p is not None]

@@ -192,7 +192,10 @@ class SmallTTS:
             self.cfg, self.codec_cfg, num_steps, decode_fn=decode_fn,
             sampler=sampler,
         )
+        import threading
+
         self._key = jax.random.PRNGKey(seed + 2)
+        self._key_lock = threading.Lock()
         self._cond_fn = jax.jit(partial(self._cond_encode))
         self._denoise_fn = jax.jit(
             partial(self._denoise_loop), static_argnames=("t_bucket",)
@@ -216,8 +219,12 @@ class SmallTTS:
         )
 
     def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
+        # concurrent callers (parallel warmup, threaded servers) must each
+        # get a UNIQUE key — an unsynchronized read-split-write would hand
+        # two requests identical noise
+        with self._key_lock:
+            self._key, sub = jax.random.split(self._key)
+            return sub
 
     # ------------------------------------------------------------- public API
 
@@ -333,7 +340,7 @@ class SmallTTS:
             i, (bs, rb, pb, tb) = args
             if progress:
                 print(f"warmup {i + 1}/{len(shapes)}: batch={bs} r={rb} p={pb} t={tb}")
-            self.synthesize_padded(
+            out = self.synthesize_padded(
                 np.zeros((bs, rb, self.cfg.latent_dim), np.float32),
                 np.full((bs,), rb, np.int32),
                 np.zeros((bs, pb), np.int32),
@@ -342,6 +349,11 @@ class SmallTTS:
                 tb,
                 fetch=False,
             )
+            # block per shape: fetch=False no longer syncs, and a warm
+            # compile cache would otherwise let warmup() return (and /ready
+            # flip) with the whole grid still queued on device — with
+            # unbounded queued-output memory (a batch-64 output is ~196 MB)
+            jax.block_until_ready(out)
 
         if workers > 1:
             from concurrent.futures import ThreadPoolExecutor

@@ -151,9 +151,26 @@ class Batcher:
     def close(self) -> None:
         self._stop = True
         self._wakeup.set()
-        self._thread.join(timeout=5)
-        self._inflight.put(None)  # fetcher sentinel
-        self._fetcher.join(timeout=5)
+        # the dispatch thread may be blocked in _inflight.put (queue full,
+        # slow fetches) — a short join here would let the sentinel overtake
+        # still-pending dispatches and strand their futures
+        self._thread.join(timeout=60)
+        self._inflight.put(None)  # fetcher sentinel (FIFO: after all groups)
+        self._fetcher.join(timeout=60)
+        # fail anything that survived the timeouts so no client hangs forever
+        leftovers: List[Request] = []
+        with self._lock:
+            leftovers, self._queue = self._queue, []
+        try:
+            while True:
+                item = self._inflight.get_nowait()
+                if item is not None:
+                    leftovers.extend(item[0])
+        except queue.Empty:
+            pass
+        for r in leftovers:
+            if not r.future.done():
+                r.future.set_exception(RuntimeError("batcher closed"))
 
     def _run(self) -> None:
         while not self._stop:
@@ -200,7 +217,11 @@ class Batcher:
                 host = np.asarray(audio)  # blocks until this group completes
                 for i, r in enumerate(group):
                     samples = int(seq_lens[i]) * HOP_SIZE
-                    r.future.set_result(host[i, :, :samples])
+                    # a client may have cancelled its future (asyncio
+                    # disconnect propagates cancel) — don't let its
+                    # InvalidStateError fail the rest of the batch
+                    if not r.future.done():
+                        r.future.set_result(host[i, :, :samples])
             except Exception as exc:
                 for r in group:
                     if not r.future.done():

@@ -113,21 +113,44 @@ class TTSServer:
         return self._batcher
 
     def _encode_reference_cached(self, samples) -> "object":
-        """encode_reference with a content-hash LRU (thread-safe)."""
+        """encode_reference with a content-hash LRU (thread-safe).
+
+        Concurrent misses for the SAME audio coalesce onto one encode: the
+        first requester parks a Future in the cache, later ones wait on it —
+        without this, a burst of requests with a cold shared voice would
+        each pay the full device round trip (exactly the hot case the cache
+        targets)."""
         import hashlib
+        from concurrent.futures import Future
 
         key = hashlib.sha1(samples.tobytes()).hexdigest()
+        fut = None
         with self._ref_cache_lock:
-            if key in self._ref_cache:
+            entry = self._ref_cache.get(key)
+            if entry is None:
+                self.stats.ref_cache_misses += 1
+                fut = Future()
+                self._ref_cache[key] = fut
+            else:
                 self._ref_cache.move_to_end(key)
                 self.stats.ref_cache_hits += 1
-                return self._ref_cache[key]
-        latents = self._tts.encode_reference(samples)
+        if fut is None:  # hit: a value, or another thread's in-flight encode
+            if isinstance(entry, Future):
+                return entry.result(timeout=600)
+            return entry
+        try:
+            latents = self._tts.encode_reference(samples)
+        except Exception as exc:
+            with self._ref_cache_lock:
+                self._ref_cache.pop(key, None)
+            fut.set_exception(exc)
+            raise
         with self._ref_cache_lock:
-            self.stats.ref_cache_misses += 1
             self._ref_cache[key] = latents
+            self._ref_cache.move_to_end(key)
             while len(self._ref_cache) > self.ref_cache_size:
                 self._ref_cache.popitem(last=False)
+        fut.set_result(latents)
         return latents
 
     # ------------------------------------------------------------- handlers
@@ -463,6 +486,8 @@ class TTSServer:
         if self._batcher is not None:
             loop = asyncio.get_running_loop()
             await loop.run_in_executor(self._pool, self._batcher.close)
+        # release the host-work threads (embedding apps recreate servers)
+        self._pool.shutdown(wait=False)
 
     async def run(self, host: str = "0.0.0.0", port: int = 3000) -> None:
         import signal

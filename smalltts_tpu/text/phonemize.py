@@ -104,28 +104,35 @@ class CharBackend:
 
 _backend = None
 _backend_name: Optional[str] = None
+# espeak-ng keeps global C state (espeak_Initialize / SetVoiceByName are not
+# thread-safe); construction must be serialized — threaded callers (corpus
+# prep pool, server executor) otherwise race the lazy init
+_backend_lock = __import__("threading").Lock()
 
 
 def set_backend(name: str) -> None:
     global _backend, _backend_name
-    if name == "espeak":
-        _backend = EspeakBackend()
-    elif name == "chars":
-        _backend = CharBackend()
-    else:
-        raise ValueError(f"unknown phonemize backend {name!r}")
-    _backend_name = name
+    with _backend_lock:
+        if name == "espeak":
+            _backend = EspeakBackend()
+        elif name == "chars":
+            _backend = CharBackend()
+        else:
+            raise ValueError(f"unknown phonemize backend {name!r}")
+        _backend_name = name
 
 
 def _get_backend():
     global _backend, _backend_name
     if _backend is None:
-        try:
-            _backend = EspeakBackend()
-            _backend_name = "espeak"
-        except Exception:
-            _backend = CharBackend()
-            _backend_name = "chars"
+        with _backend_lock:
+            if _backend is None:  # double-checked: losers reuse the winner's
+                try:
+                    _backend = EspeakBackend()
+                    _backend_name = "espeak"
+                except Exception:
+                    _backend = CharBackend()
+                    _backend_name = "chars"
     return _backend
 
 

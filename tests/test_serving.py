@@ -360,3 +360,35 @@ def test_reference_latents_lru_cache():
     assert server.stats.ref_cache_misses == 4
     assert len(server._ref_cache) == 2
     server._batcher.close()
+
+
+def test_reference_cache_coalesces_concurrent_misses():
+    """A burst of requests sharing a cold voice runs ONE encode; the rest
+    wait on the in-flight Future instead of paying their own round trip."""
+    import threading
+    import time as _time
+
+    calls = {"n": 0}
+
+    class _TTS:
+        def encode_reference(self, samples):
+            calls["n"] += 1
+            _time.sleep(0.1)
+            return np.full((4, 64), 7.0, np.float32)
+
+    server = TTSServer(tts=_TTS(), x402_cfg=X402Config(mode="disabled"))
+    samples = np.ones((2400,), np.float32)
+    out = [None] * 6
+
+    def worker(i):
+        out[i] = server._encode_reference_cached(samples)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert calls["n"] == 1, calls
+    assert all(o is not None and o[0, 0] == 7.0 for o in out)
+    assert server.stats.ref_cache_misses == 1
+    assert server.stats.ref_cache_hits == 5
