@@ -1,0 +1,137 @@
+"""Serving-layer load benchmark: the full HTTP path on real hardware.
+
+Measures what a CLIENT sees — HTTP parse -> multipart -> wav decode ->
+phonemize -> reference encode (LRU) -> continuous batcher -> fused
+synthesis -> WAV response — unlike bench.py, which times the raw pipeline.
+Reference comparison: the Rust server serializes requests behind a mutex
+(reference: src/server/src/main.rs:24,137-146), so its serving throughput
+IS its batch-1 pipeline throughput.
+
+Usage:
+    python scripts/bench_serving.py [--clients 16] [--requests 8]
+        [--duration 5.0] [--max-batch 8] [--distinct-voices 1]
+
+Prints one JSON line: throughput (audio-s/s, req/s) + latency p50/p95.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import struct
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def make_wav(seconds: float, freq: float = 440.0, sr: int = 24_000) -> bytes:
+    x = (0.3 * np.sin(2 * np.pi * freq * np.arange(int(seconds * sr)) / sr))
+    pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def multipart(wav: bytes, text: str, boundary: str = "XB") -> tuple[bytes, str]:
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="audio"\r\n\r\n'
+    ).encode() + wav + (
+        f"\r\n--{boundary}\r\n"
+        'Content-Disposition: form-data; name="text"\r\n\r\n'
+        f"{text}\r\n--{boundary}--\r\n"
+    ).encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=8, help="per client")
+    ap.add_argument("--duration", type=float, default=5.0)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--distinct-voices", type=int, default=1,
+                    help="1 = shared voice (LRU steady state); N cycles N refs")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from smalltts_tpu.data.bucketing import LATENT_BUCKETS, frames_for_duration, pick_bucket
+    from smalltts_tpu.infer.pipeline import SmallTTS
+    from smalltts_tpu.serving.server import TTSServer
+    from smalltts_tpu.serving.x402 import X402Config
+
+    tts = SmallTTS(seed=0)
+    t_bucket = pick_bucket(frames_for_duration(args.duration), LATENT_BUCKETS)
+    t0 = time.time()
+    tts.warmup(batch_sizes=(1, args.max_batch), t_buckets=(t_bucket,),
+               r_buckets=(64,), p_buckets=(128,), workers=8)
+    print(f"warmup in {time.time() - t0:.0f}s", file=sys.stderr)
+
+    server = TTSServer(tts=tts, x402_cfg=X402Config(mode="disabled"),
+                       max_batch=args.max_batch)
+    bodies = [
+        multipart(make_wav(0.6, 440.0 + 20 * v), "the quick brown fox jumps over it")
+        for v in range(max(1, args.distinct_voices))
+    ]
+
+    async def run() -> dict:
+        import http.client
+
+        srv = await asyncio.start_server(server._serve_conn, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        lat: list[float] = []
+        import threading
+
+        lock = threading.Lock()
+
+        def client(cid: int, n_req: int) -> None:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            for j in range(n_req):
+                body, ctype = bodies[(cid + j) % len(bodies)]
+                t0 = time.perf_counter()
+                conn.request("POST", f"/synthesize?duration={args.duration}",
+                             body, {"Content-Type": ctype})
+                r = conn.getresponse()
+                data = r.read()
+                assert r.status == 200 and data[:4] == b"RIFF", (r.status, data[:80])
+                with lock:
+                    lat.append(time.perf_counter() - t0)
+
+        # clients need their own pool: the loop's default executor is shared
+        pool = ThreadPoolExecutor(args.clients + 4)
+        loop = asyncio.get_running_loop()
+        await loop.run_in_executor(pool, client, 0, 2)  # warm serving path
+        lat.clear()
+        t0 = time.perf_counter()
+        await asyncio.gather(*[
+            loop.run_in_executor(pool, client, c, args.requests)
+            for c in range(args.clients)
+        ])
+        wall = time.perf_counter() - t0
+        srv.close()
+        await srv.wait_closed()
+        await server.shutdown()
+        lat.sort()
+        total = args.clients * args.requests
+        return {
+            "metric": "serving_audio_sec_per_sec",
+            "value": round(total * args.duration / wall, 1),
+            "req_per_sec": round(total / wall, 1),
+            "latency_p50_ms": round(1e3 * lat[len(lat) // 2], 1),
+            "latency_p95_ms": round(1e3 * lat[int(len(lat) * 0.95)], 1),
+            "clients": args.clients,
+            "duration_sec": args.duration,
+            "max_batch": args.max_batch,
+            "distinct_voices": args.distinct_voices,
+        }
+
+    print(json.dumps(asyncio.run(run())))
+
+
+if __name__ == "__main__":
+    main()

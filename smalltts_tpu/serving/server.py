@@ -187,6 +187,34 @@ class TTSServer:
                      "synth_ms_p95": round(p95, 2)}
                 ).encode(),
             )
+        if method == "GET" and path == "/metrics":
+            # Prometheus text exposition (same numbers as /stats) so the
+            # server drops into standard scrape-based monitoring; the
+            # reference has no metrics surface at all
+            ms = sorted(self.stats.synth_ms)
+            p50 = ms[len(ms) // 2] if ms else 0.0
+            p95 = ms[int(len(ms) * 0.95)] if ms else 0.0
+            lines = [
+                "# TYPE smalltts_requests_total counter",
+                f"smalltts_requests_total {self.stats.requests}",
+                "# TYPE smalltts_rejected_total counter",
+                f"smalltts_rejected_total {self.stats.rejected}",
+                "# TYPE smalltts_pending_requests gauge",
+                f"smalltts_pending_requests "
+                f"{self._batcher.pending() if self._batcher else 0}",
+                "# TYPE smalltts_ref_cache_hits_total counter",
+                f"smalltts_ref_cache_hits_total {self.stats.ref_cache_hits}",
+                "# TYPE smalltts_ref_cache_misses_total counter",
+                f"smalltts_ref_cache_misses_total {self.stats.ref_cache_misses}",
+                "# TYPE smalltts_synth_ms summary",
+                f'smalltts_synth_ms{{quantile="0.5"}} {round(p50, 2)}',
+                f'smalltts_synth_ms{{quantile="0.95"}} {round(p95, 2)}',
+            ]
+            return (
+                200,
+                [("content-type", "text/plain; version=0.0.4"), *CORS_HEADERS],
+                ("\n".join(lines) + "\n").encode(),
+            )
         if method == "GET" and path == "/.well-known/x402":
             return (
                 200,

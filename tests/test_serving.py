@@ -392,3 +392,17 @@ def test_reference_cache_coalesces_concurrent_misses():
     assert all(o is not None and o[0, 0] == 7.0 for o in out)
     assert server.stats.ref_cache_misses == 1
     assert server.stats.ref_cache_hits == 5
+
+
+def test_metrics_prometheus_exposition():
+    server = TTSServer(tts=object(), x402_cfg=X402Config(mode="disabled"))
+    server.stats.requests = 3
+    server.stats.ref_cache_hits = 2
+    server.stats.synth_ms.extend([10.0, 20.0, 30.0])
+    status, headers, body = run(server.handle("GET", "/metrics", {}, {}, b""))
+    assert status == 200
+    assert dict(headers)["content-type"].startswith("text/plain")
+    text = body.decode()
+    assert "smalltts_requests_total 3" in text
+    assert "smalltts_ref_cache_hits_total 2" in text
+    assert 'smalltts_synth_ms{quantile="0.5"} 20.0' in text
