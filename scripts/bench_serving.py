@@ -55,6 +55,9 @@ def main() -> None:
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--distinct-voices", type=int, default=1,
                     help="1 = shared voice (LRU steady state); N cycles N refs")
+    ap.add_argument("--soak-seconds", type=float, default=0.0,
+                    help="run clients in a loop until the deadline and report "
+                         "RSS growth (leak check) instead of fixed request counts")
     args = ap.parse_args()
 
     import jax
@@ -89,9 +92,10 @@ def main() -> None:
 
         lock = threading.Lock()
 
-        def client(cid: int, n_req: int) -> None:
+        def client(cid: int, n_req: int, deadline: float = 0.0) -> None:
             conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
-            for j in range(n_req):
+            j = 0
+            while (j < n_req) if not deadline else (time.perf_counter() < deadline):
                 body, ctype = bodies[(cid + j) % len(bodies)]
                 t0 = time.perf_counter()
                 conn.request("POST", f"/synthesize?duration={args.duration}",
@@ -101,27 +105,40 @@ def main() -> None:
                 assert r.status == 200 and data[:4] == b"RIFF", (r.status, data[:80])
                 with lock:
                     lat.append(time.perf_counter() - t0)
+                j += 1
 
         # clients need their own pool: the loop's default executor is shared
         pool = ThreadPoolExecutor(args.clients + 4)
         loop = asyncio.get_running_loop()
         await loop.run_in_executor(pool, client, 0, 2)  # warm serving path
         lat.clear()
+
+        def rss_mb() -> float:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return int(line.split()[1]) / 1024.0
+            return -1.0
+
+        rss_before = rss_mb()
         t0 = time.perf_counter()
+        deadline = t0 + args.soak_seconds if args.soak_seconds else 0.0
         await asyncio.gather(*[
-            loop.run_in_executor(pool, client, c, args.requests)
+            loop.run_in_executor(pool, client, c, args.requests, deadline)
             for c in range(args.clients)
         ])
         wall = time.perf_counter() - t0
+        rss_after = rss_mb()
         srv.close()
         await srv.wait_closed()
         await server.shutdown()
         lat.sort()
-        total = args.clients * args.requests
-        return {
+        total = len(lat)
+        out = {
             "metric": "serving_audio_sec_per_sec",
             "value": round(total * args.duration / wall, 1),
             "req_per_sec": round(total / wall, 1),
+            "requests": total,
             "latency_p50_ms": round(1e3 * lat[len(lat) // 2], 1),
             "latency_p95_ms": round(1e3 * lat[int(len(lat) * 0.95)], 1),
             "clients": args.clients,
@@ -129,6 +146,11 @@ def main() -> None:
             "max_batch": args.max_batch,
             "distinct_voices": args.distinct_voices,
         }
+        if args.soak_seconds:
+            out["soak_seconds"] = args.soak_seconds
+            out["rss_before_mb"] = round(rss_before, 1)
+            out["rss_after_mb"] = round(rss_after, 1)
+        return out
 
     print(json.dumps(asyncio.run(run())))
 

@@ -1,0 +1,144 @@
+"""Synthetic-speech corpus (data/synthetic.py): determinism, structure,
+pipeline integration, and the CLOSED quality loop (train on the corpus,
+measure improvement with utils/metrics.py instruments)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from smalltts_tpu.data.synthetic import SR, synth_speech, write_corpus
+
+
+def test_synth_speech_deterministic_and_bounded():
+    a = synth_speech("hello moon", speaker=1, seed=3)
+    b = synth_speech("hello moon", speaker=1, seed=3)
+    np.testing.assert_array_equal(a, b)
+    assert a.dtype == np.float32 and np.isfinite(a).all()
+    assert np.abs(a).max() <= 0.81
+    # speakers and texts actually change the waveform
+    assert not np.array_equal(a, synth_speech("hello moon", speaker=2, seed=3))
+    assert a.shape != synth_speech("hello", speaker=1, seed=3).shape
+
+
+def test_speakers_have_distinct_pitch():
+    """Per-speaker f0 must be recoverable from the waveform (autocorrelation)
+    — otherwise SV training on the corpus has nothing to learn."""
+
+    def f0_of(audio):
+        seg = audio[: SR // 2]
+        ac = np.correlate(seg, seg, "full")[len(seg) - 1:]
+        lo, hi = SR // 300, SR // 70  # 70..300 Hz
+        return SR / (lo + np.argmax(ac[lo:hi]))
+
+    f0s = [f0_of(synth_speech("aaaa eeee oooo", speaker=s)) for s in range(4)]
+    assert len({round(f, 0) for f in f0s}) >= 3, f0s  # mostly distinct
+
+
+def test_corpus_feeds_local_dataset(tmp_path):
+    from functools import partial
+
+    from smalltts_tpu.data.local import LocalDataConfig, LocalDataset
+    from smalltts_tpu.models.codec import codec_encode, init_codec
+    from tiny import TINY_CODEC
+
+    entries = write_corpus(str(tmp_path), n_utts=4, n_speakers=2, seed=0)
+    assert len(entries) == 4 and os.path.exists(entries[0][0])
+    params = init_codec(jax.random.PRNGKey(0), TINY_CODEC)
+    ds = LocalDataset(
+        str(tmp_path),
+        jax.jit(partial(codec_encode, params, cfg=TINY_CODEC)),
+        LocalDataConfig(batch_size=2, max_latents=32, max_ref=8,
+                        hop=TINY_CODEC.hop, min_latents=2),
+        tokenizer=lambda t: [ord(c) % 150 + 1 for c in t],
+    )
+    batch = ds.sample_batch(np.random.default_rng(0))
+    assert batch["latents"].shape == (2, 32, 64)
+    assert np.isfinite(batch["latents"]).all()
+    assert (batch["latents_lengths"] >= 2).all()
+
+
+def test_sv_teacher_separates_synthetic_speakers():
+    """The waveform SV teacher (random-init fbank+ECAPA features) must embed
+    same-speaker utterances closer than different-speaker ones ON AVERAGE —
+    i.e. the corpus carries real speaker structure, the precondition for the
+    SV distillation loss to be meaningful."""
+    from smalltts_tpu.models.sv import SVConfig
+    from smalltts_tpu.models.sv_teacher import (
+        init_sv_teacher,
+        resample_24k_to_16k,
+        sv_teacher_embed,
+    )
+
+    cfg = SVConfig(input_dim=80, channels=(16, 16, 16, 16, 48), emb_dim=8,
+                   attention_channels=8, res2net_scale=2, se_channels=8)
+    params = init_sv_teacher(jax.random.PRNGKey(0), cfg)
+    texts = ["open the door", "blue moon light"]
+
+    def emb(speaker, text):
+        audio = synth_speech(text, speaker=speaker)[: SR]
+        a16 = resample_24k_to_16k(audio[None, None, :])
+        e = np.asarray(sv_teacher_embed(params, a16, cfg=cfg))
+        return e[0] / (np.linalg.norm(e[0]) + 1e-9)
+
+    sims_same, sims_diff = [], []
+    for s in range(3):
+        sims_same.append(float(emb(s, texts[0]) @ emb(s, texts[1])))
+        sims_diff.append(float(emb(s, texts[0]) @ emb((s + 1) % 3, texts[1])))
+    assert np.mean(sims_same) > np.mean(sims_diff), (sims_same, sims_diff)
+
+
+@pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                    reason="a few hundred codec steps; RUN_SLOW=1")
+def test_quality_loop_codec_training_improves_mel_distance(tmp_path):
+    """THE closed quality loop: synthetic corpus -> codec training ->
+    encode/decode roundtrip -> utils/metrics.mel_distance improves vs the
+    untrained codec. Every instrument runs on real audio end to end."""
+    import optax
+
+    from smalltts_tpu.models.codec import codec_decode, codec_encode, init_codec
+    from smalltts_tpu.train.codec_train import CodecTrainConfig, make_codec_step
+    from smalltts_tpu.utils.metrics import mel_distance
+    from tiny import TINY_CODEC
+
+    entries = write_corpus(str(tmp_path), n_utts=6, n_speakers=3, seed=0)
+    hop = TINY_CODEC.hop
+    seg = 16 * hop
+
+    def clip(path):
+        from smalltts_tpu.serving import audio_io
+
+        a = audio_io.decode_and_resample(open(path, "rb").read(), SR)
+        a = np.pad(a, (0, max(0, seg - len(a))))[:seg]
+        return a.astype(np.float32)
+
+    clips = np.stack([clip(w) for w, _, _ in entries])  # (N, seg)
+    train, held = clips[:4], clips[4:]
+
+    cfg = TINY_CODEC
+    params0 = init_codec(jax.random.PRNGKey(0), cfg)
+    tcfg = CodecTrainConfig(lr=3e-4)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4))
+    opt_state = tx.init(params0)
+    step = make_codec_step(cfg, tcfg, tx)
+
+    def roundtrip_mel(params):
+        ds = []
+        for a in held:
+            lat = codec_encode(params, a[None, None, :], cfg)
+            rec = np.asarray(codec_decode(params, lat, cfg))[0, 0]
+            ds.append(mel_distance(a, rec))
+        return float(np.mean(ds))
+
+    before = roundtrip_mel(params0)
+    params = params0
+    rng = np.random.default_rng(0)
+    for i in range(300):
+        idx = rng.integers(0, len(train), 2)
+        params, opt_state, loss, _ = step(params, opt_state,
+                                          train[idx][:, None, :])
+        assert np.isfinite(float(loss))
+    after = roundtrip_mel(params)
+    assert after < 0.8 * before, (before, after)
