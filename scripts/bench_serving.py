@@ -19,7 +19,6 @@ from __future__ import annotations
 import argparse
 import asyncio
 import json
-import struct
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -28,11 +27,10 @@ import numpy as np
 
 
 def make_wav(seconds: float, freq: float = 440.0, sr: int = 24_000) -> bytes:
-    x = (0.3 * np.sin(2 * np.pi * freq * np.arange(int(seconds * sr)) / sr))
-    pcm = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
-    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
-            + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
-            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    from smalltts_tpu.serving.audio_io import encode_wav
+
+    x = 0.3 * np.sin(2 * np.pi * freq * np.arange(int(seconds * sr)) / sr)
+    return encode_wav(x.astype(np.float32), sr)
 
 
 def multipart(wav: bytes, text: str, boundary: str = "XB") -> tuple[bytes, str]:
@@ -60,11 +58,15 @@ def main() -> None:
                          "RSS growth (leak check) instead of fixed request counts")
     args = ap.parse_args()
 
-    import jax
+    import os
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     from smalltts_tpu.data.bucketing import LATENT_BUCKETS, frames_for_duration, pick_bucket
-    from smalltts_tpu.infer.pipeline import SmallTTS
+    from smalltts_tpu.infer.pipeline import SmallTTS, enable_compilation_cache
+
+    # same env knob as bench.py so both harnesses share one on-disk cache
+    enable_compilation_cache(
+        os.environ.get("JAX_CACHE_DIR", "~/.cache/smalltts_tpu/xla")
+    )
     from smalltts_tpu.serving.server import TTSServer
     from smalltts_tpu.serving.x402 import X402Config
 
@@ -134,13 +136,15 @@ def main() -> None:
         await server.shutdown()
         lat.sort()
         total = len(lat)
+        p50 = 1e3 * lat[len(lat) // 2] if lat else 0.0
+        p95 = 1e3 * lat[min(int(len(lat) * 0.95), len(lat) - 1)] if lat else 0.0
         out = {
             "metric": "serving_audio_sec_per_sec",
             "value": round(total * args.duration / wall, 1),
             "req_per_sec": round(total / wall, 1),
             "requests": total,
-            "latency_p50_ms": round(1e3 * lat[len(lat) // 2], 1),
-            "latency_p95_ms": round(1e3 * lat[int(len(lat) * 0.95)], 1),
+            "latency_p50_ms": round(p50, 1),
+            "latency_p95_ms": round(p95, 1),
             "clients": args.clients,
             "duration_sec": args.duration,
             "max_batch": args.max_batch,

@@ -124,7 +124,7 @@ def write_corpus(root: str, n_utts: int = 32, n_speakers: int = 4,
     for i in range(n_utts):
         speaker = i % n_speakers
         text = make_text(rng)
-        audio = synth_speech(text, speaker=speaker, seed=seed)
+        audio = synth_speech(text, speaker=speaker, sr=sr, seed=seed)
         wav_path = os.path.join(root, f"{i:04d}.wav")
         with open(wav_path, "wb") as f:
             f.write(encode_wav(audio, sr))

@@ -153,6 +153,19 @@ class TTSServer:
         fut.set_result(latents)
         return latents
 
+    def _stat_snapshot(self) -> Dict[str, float]:
+        """One source of truth for /stats and /metrics."""
+        ms = sorted(self.stats.synth_ms)
+        return {
+            "requests": self.stats.requests,
+            "rejected": self.stats.rejected,
+            "pending": self._batcher.pending() if self._batcher else 0,
+            "ref_cache_hits": self.stats.ref_cache_hits,
+            "ref_cache_misses": self.stats.ref_cache_misses,
+            "synth_ms_p50": round(ms[len(ms) // 2], 2) if ms else 0.0,
+            "synth_ms_p95": round(ms[int(len(ms) * 0.95)], 2) if ms else 0.0,
+        }
+
     # ------------------------------------------------------------- handlers
 
     async def handle(self, method: str, path: str, query: Dict[str, str],
@@ -171,44 +184,30 @@ class TTSServer:
             return (503, [("retry-after", "5"), *CORS_HEADERS],
                     b"draining" if self._draining else b"pipeline not warmed")
         if method == "GET" and path == "/stats":
-            ms = sorted(self.stats.synth_ms)
-            p50 = ms[len(ms) // 2] if ms else 0.0
-            p95 = ms[int(len(ms) * 0.95)] if ms else 0.0
             return (
                 200,
                 [("content-type", "application/json"), *CORS_HEADERS],
-                json.dumps(
-                    {"requests": self.stats.requests,
-                     "rejected": self.stats.rejected,
-                     "pending": self._batcher.pending() if self._batcher else 0,
-                     "ref_cache_hits": self.stats.ref_cache_hits,
-                     "ref_cache_misses": self.stats.ref_cache_misses,
-                     "synth_ms_p50": round(p50, 2),
-                     "synth_ms_p95": round(p95, 2)}
-                ).encode(),
+                json.dumps(self._stat_snapshot()).encode(),
             )
         if method == "GET" and path == "/metrics":
-            # Prometheus text exposition (same numbers as /stats) so the
+            # Prometheus text exposition of the same numbers as /stats so the
             # server drops into standard scrape-based monitoring; the
             # reference has no metrics surface at all
-            ms = sorted(self.stats.synth_ms)
-            p50 = ms[len(ms) // 2] if ms else 0.0
-            p95 = ms[int(len(ms) * 0.95)] if ms else 0.0
+            st = self._stat_snapshot()
             lines = [
                 "# TYPE smalltts_requests_total counter",
-                f"smalltts_requests_total {self.stats.requests}",
+                f"smalltts_requests_total {st['requests']}",
                 "# TYPE smalltts_rejected_total counter",
-                f"smalltts_rejected_total {self.stats.rejected}",
+                f"smalltts_rejected_total {st['rejected']}",
                 "# TYPE smalltts_pending_requests gauge",
-                f"smalltts_pending_requests "
-                f"{self._batcher.pending() if self._batcher else 0}",
+                f"smalltts_pending_requests {st['pending']}",
                 "# TYPE smalltts_ref_cache_hits_total counter",
-                f"smalltts_ref_cache_hits_total {self.stats.ref_cache_hits}",
+                f"smalltts_ref_cache_hits_total {st['ref_cache_hits']}",
                 "# TYPE smalltts_ref_cache_misses_total counter",
-                f"smalltts_ref_cache_misses_total {self.stats.ref_cache_misses}",
+                f"smalltts_ref_cache_misses_total {st['ref_cache_misses']}",
                 "# TYPE smalltts_synth_ms summary",
-                f'smalltts_synth_ms{{quantile="0.5"}} {round(p50, 2)}',
-                f'smalltts_synth_ms{{quantile="0.95"}} {round(p95, 2)}',
+                f'smalltts_synth_ms{{quantile="0.5"}} {st["synth_ms_p50"]}',
+                f'smalltts_synth_ms{{quantile="0.95"}} {st["synth_ms_p95"]}',
             ]
             return (
                 200,
