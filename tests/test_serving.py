@@ -406,3 +406,36 @@ def test_metrics_prometheus_exposition():
     assert "smalltts_requests_total 3" in text
     assert "smalltts_ref_cache_hits_total 2" in text
     assert 'smalltts_synth_ms{quantile="0.5"} 20.0' in text
+
+
+def test_multipart_parser_hostile_inputs_never_crash():
+    """Property: parse_multipart either returns a dict or raises ValueError —
+    no other exception, no hang — for arbitrary hostile bytes (the request
+    body is fully attacker-controlled up to the 2 MiB cap)."""
+    rng = np.random.RandomState(0)
+    hostile = [
+        (b"", "multipart/form-data"),                      # no boundary at all
+        (b"", 'multipart/form-data; boundary=""'),
+        (b"--B\r\n\r\n", "multipart/form-data; boundary=B"),
+        (b"--B\r\nContent-Disposition: form-data\r\n\r\nx--B--", 
+         "multipart/form-data; boundary=B"),               # part without name
+        (b"--B--", "multipart/form-data; boundary=B"),     # empty envelope
+        (b"\xff" * 4096, "multipart/form-data; boundary=B"),
+        (b"--B\r\n" * 500, "multipart/form-data; boundary=B"),  # many headers
+        (("--B\r\nContent-Disposition: form-data; name=\"" + "a" * 10_000
+          + "\"\r\n\r\nv\r\n--B--").encode(),
+         "multipart/form-data; boundary=B"),               # giant field name
+    ]
+    for _ in range(50):  # random garbage, some containing the boundary
+        blob = rng.bytes(rng.randint(1, 2048))
+        if rng.rand() < 0.5:
+            blob = blob.replace(b"\x00", b"--B")
+        hostile.append((blob, "multipart/form-data; boundary=B"))
+    for body, ctype in hostile:
+        try:
+            fields = parse_multipart(body, ctype)
+        except ValueError:
+            continue
+        assert isinstance(fields, dict)
+        for k, v in fields.items():
+            assert isinstance(k, str) and isinstance(v, bytes)
