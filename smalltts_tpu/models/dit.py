@@ -53,6 +53,10 @@ class DiTConfig:
     conv_groups: int = 16
     max_seq: int = 4096
     remat: bool = False  # rematerialize each block in the backward pass
+    # lax.scan unroll factor for the 12-block loop (inference paths): >1
+    # trades HLO size for less per-iteration loop overhead; measured on
+    # v5e-1 before changing the default (see PERF.md)
+    scan_unroll: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -271,7 +275,7 @@ def dit_forward(
         return out, out
 
     body_fn = jax.checkpoint(body) if cfg.remat else body
-    x, feats = lax.scan(body_fn, x, (p["blocks"], mods))
+    x, feats = lax.scan(body_fn, x, (p["blocks"], mods), unroll=cfg.scan_unroll)
     x = _adaln_final(p["norm_out"], x, emb)
     return x, feats.transpose(1, 0, 2, 3)
 
@@ -318,5 +322,6 @@ def dit_forward_cached(
         out = _block_core(blk, cfg, carry, mod, mask, joint_key_mask, rope, kv)
         return out, None
 
-    x, _ = lax.scan(body, x, (p["blocks"], mods, tuple(cached)))
+    x, _ = lax.scan(body, x, (p["blocks"], mods, tuple(cached)),
+                    unroll=cfg.scan_unroll)
     return _adaln_final(p["norm_out"], x, emb)
