@@ -57,6 +57,10 @@ def main() -> int:
     ap.add_argument("--sv-teacher", default=None,
                     help="voxceleb waveform ECAPA weights (.ckpt/.npz)")
     ap.add_argument("--sv-checkpoint", default=None, help="latent SV weights (.npz)")
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="use N utterances from the in-repo synthetic-speech "
+                         "corpus (data/synthetic.py) as --ref material — the "
+                         "asset-free way to exercise every metric")
     ap.add_argument("--out", default="out/quality.json")
     args = ap.parse_args()
 
@@ -77,7 +81,18 @@ def main() -> int:
 
         sv_params = load_pytree(args.sv_checkpoint)
 
-    ref_wav = _load_wav(args.ref) if args.ref else _sine()
+    if args.synthetic:
+        from smalltts_tpu.data.synthetic import make_text, synth_speech
+
+        rng = np.random.RandomState(0)
+        synth_refs = [
+            synth_speech(make_text(rng), speaker=i % 4, seed=0)
+            for i in range(args.synthetic)
+        ]
+        ref_wav = synth_refs[0]
+    else:
+        synth_refs = None
+        ref_wav = _load_wav(args.ref) if args.ref else _sine()
     texts = (
         [ln.strip() for ln in open(args.texts) if ln.strip()]
         if args.texts
@@ -90,15 +105,22 @@ def main() -> int:
                                      teacher_params=teacher_params)
 
     if args.roundtrip:
-        lat = tts.encode_reference(ref_wav)
         import jax.numpy as jnp
 
-        recon = np.asarray(
-            tts._decode_fn(tts.codec_params, jnp.asarray(lat[None], jnp.float32))
-        )[0, 0, : len(ref_wav)]
+        rows = []
+        for wav in (synth_refs or [ref_wav]):
+            lat = tts.encode_reference(wav)
+            recon = np.asarray(
+                tts._decode_fn(tts.codec_params, jnp.asarray(lat[None], jnp.float32))
+            )[0, 0, : len(wav)]
+            rows.append({
+                "mel_distance": round(metrics.mel_distance(wav, recon), 4),
+                "snr_db": round(metrics.snr_db(wav, recon), 2),
+            })
         results["roundtrip"] = {
-            "mel_distance": round(metrics.mel_distance(ref_wav, recon), 4),
-            "snr_db": round(metrics.snr_db(ref_wav, recon), 2),
+            "mel_distance": round(float(np.mean([r["mel_distance"] for r in rows])), 4),
+            "snr_db": round(float(np.mean([r["snr_db"] for r in rows])), 2),
+            "n": len(rows),
         }
         print(json.dumps({"mode": "roundtrip", **results["roundtrip"]}))
 

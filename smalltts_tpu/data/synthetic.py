@@ -25,7 +25,7 @@ dummy loader, for tests and quality-loop validation on real pipelines.
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
@@ -133,13 +133,3 @@ def write_corpus(root: str, n_utts: int = 32, n_speakers: int = 4,
         out.append((wav_path, text, speaker))
     return out
 
-
-def speaker_pairs(entries: Sequence[Tuple[str, str, int]]):
-    """(same-speaker pairs, different-speaker pairs) of wav paths — the
-    fixture for SV-similarity sanity (same > different on average)."""
-    same, diff = [], []
-    for i in range(len(entries)):
-        for j in range(i + 1, len(entries)):
-            (wi, _, si), (wj, _, sj) = entries[i], entries[j]
-            (same if si == sj else diff).append((wi, wj))
-    return same, diff
