@@ -355,17 +355,12 @@ class SmallTTS:
             # unbounded queued-output memory (a batch-64 output is ~196 MB)
             jax.block_until_ready(out)
 
-        if workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(workers) as pool:
-                list(pool.map(warm_encoder, r_buckets))
-                list(pool.map(warm_shape, enumerate(shapes)))
-        else:
-            for rb in r_buckets:
-                warm_encoder(rb)
-            for item in enumerate(shapes):
-                warm_shape(item)
+        # ThreadPoolExecutor(1) IS the serial path — one driving loop
+        with ThreadPoolExecutor(max(1, workers)) as pool:
+            list(pool.map(warm_encoder, r_buckets))
+            list(pool.map(warm_shape, enumerate(shapes)))
         return len(shapes)
 
     def compile_cache_size(self) -> int:

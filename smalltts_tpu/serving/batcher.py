@@ -127,6 +127,8 @@ class Batcher:
         # dispatched groups awaiting result materialization; put() blocks when
         # full, which backpressures dispatch and bounds device memory
         self._inflight: queue.Queue = queue.Queue(maxsize=max(1, max_inflight))
+        self._inflight_requests = 0  # requests inside _inflight groups
+        self._sealed = False  # set by close() AFTER the dispatch thread dies
         self._fetcher = threading.Thread(target=self._fetch_loop, daemon=True)
         self._fetcher.start()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -145,8 +147,10 @@ class Batcher:
         return req.future
 
     def pending(self) -> int:
+        """Requests not yet delivered: collection queue + dispatched groups
+        awaiting result materialization (the pipelining window)."""
         with self._lock:
-            return len(self._queue)
+            return len(self._queue) + self._inflight_requests
 
     def close(self) -> None:
         self._stop = True
@@ -155,12 +159,27 @@ class Batcher:
         # slow fetches) — a short join here would let the sentinel overtake
         # still-pending dispatches and strand their futures
         self._thread.join(timeout=60)
-        self._inflight.put(None)  # fetcher sentinel (FIFO: after all groups)
+        self._sealed = True
+        leftovers: List[Request] = []
+        # sentinel insertion must NOT block forever: if the fetcher is wedged
+        # (device hang mid-np.asarray) with a full queue, steal queued groups
+        # into `leftovers` until the sentinel fits
+        while True:
+            try:
+                self._inflight.put_nowait(None)
+                break
+            except queue.Full:
+                try:
+                    item = self._inflight.get_nowait()
+                    if item is not None:
+                        leftovers.extend(item[0])
+                except queue.Empty:
+                    continue  # raced the fetcher; retry the put
         self._fetcher.join(timeout=60)
         # fail anything that survived the timeouts so no client hangs forever
-        leftovers: List[Request] = []
         with self._lock:
-            leftovers, self._queue = self._queue, []
+            leftovers += self._queue
+            self._queue = []
         try:
             while True:
                 item = self._inflight.get_nowait()
@@ -201,6 +220,14 @@ class Batcher:
             audio = self.tts.synthesize_padded(
                 ref, ref_lens, ph, ph_lens, seq_lens, t_bucket, fetch=False
             )
+            if self._sealed:
+                # only reachable when close() timed out joining this thread
+                # and has already sealed the queue — fail cleanly instead of
+                # racing a group in after the final drain (normal close()
+                # drains gracefully: sealing happens after this thread exits)
+                raise RuntimeError("batcher closed")
+            with self._lock:
+                self._inflight_requests += len(group)
             self._inflight.put((group, seq_lens, audio))
         except Exception as exc:  # propagate to all waiters
             for r in group:
@@ -217,12 +244,22 @@ class Batcher:
                 host = np.asarray(audio)  # blocks until this group completes
                 for i, r in enumerate(group):
                     samples = int(seq_lens[i]) * HOP_SIZE
-                    # a client may have cancelled its future (asyncio
-                    # disconnect propagates cancel) — don't let its
-                    # InvalidStateError fail the rest of the batch
-                    if not r.future.done():
-                        r.future.set_result(host[i, :, :samples])
+                    # a client may cancel its future at ANY moment (asyncio
+                    # disconnect propagates cancel) — the done() check alone
+                    # is racy, so a cancelled future must fail only itself,
+                    # never the rest of the batch
+                    try:
+                        if not r.future.done():
+                            r.future.set_result(host[i, :, :samples])
+                    except Exception:
+                        pass
             except Exception as exc:
                 for r in group:
-                    if not r.future.done():
-                        r.future.set_exception(exc)
+                    try:
+                        if not r.future.done():
+                            r.future.set_exception(exc)
+                    except Exception:
+                        pass
+            finally:
+                with self._lock:
+                    self._inflight_requests -= len(group)

@@ -89,6 +89,7 @@ class TTSServer:
         self._ref_cache_lock = threading.Lock()
         self.ref_cache_size = ref_cache_size
         self._draining = False
+        self._active = 0  # in-flight /synthesize coroutines (loop-thread only)
         self.gate = X402Gate(x402_cfg)
         self.stats = ServerStats()
         self.audio = _audio_backend()
@@ -131,12 +132,16 @@ class TTSServer:
                 self.stats.ref_cache_misses += 1
                 fut = Future()
                 self._ref_cache[key] = fut
-            else:
+            elif not isinstance(entry, Future):
                 self._ref_cache.move_to_end(key)
                 self.stats.ref_cache_hits += 1
-        if fut is None:  # hit: a value, or another thread's in-flight encode
+        if fut is None:  # a value, or another thread's in-flight encode
             if isinstance(entry, Future):
-                return entry.result(timeout=600)
+                # coalesced waiter: count a hit only if the encode succeeds
+                latents = entry.result(timeout=600)
+                with self._ref_cache_lock:
+                    self.stats.ref_cache_hits += 1
+                return latents
             return entry
         try:
             latents = self._tts.encode_reference(samples)
@@ -232,6 +237,17 @@ class TTSServer:
         chunked-transfer WAV (unknown-length RIFF header) — playback starts
         after the first sentence. The reference caps synthesis at 30 s and
         has no streaming at all."""
+        if self._draining:
+            # past /ready flipping: a request that still arrives (load
+            # balancer lag) must not start new work during the drain window
+            return (503, [("retry-after", "5"), *CORS_HEADERS], b"draining")
+        self._active += 1
+        try:
+            return await self._synthesize_inner(query, headers, body, stream)
+        finally:
+            self._active -= 1
+
+    async def _synthesize_inner(self, query, headers, body, stream: bool):
         try:
             duration = float(query.get("duration", 1.0))
         except ValueError:
@@ -506,10 +522,17 @@ class TTSServer:
         writer.write("\r\n".join(lines).encode() + body)
         await writer.drain()
 
-    async def shutdown(self) -> None:
+    async def shutdown(self, drain_timeout_s: float = 30.0) -> None:
         """Graceful drain: flip /ready to 503 (load balancers stop routing),
-        let in-flight batches finish, then close the batcher."""
+        reject stragglers, wait for in-flight request coroutines, close the
+        batcher, then release the host-work pool. The pool must outlive the
+        in-flight coroutines: they schedule executor work (encode, settle)
+        after resuming, and a shut pool would 500 requests whose synthesis
+        already succeeded."""
         self._draining = True
+        deadline = time.monotonic() + drain_timeout_s
+        while self._active > 0 and time.monotonic() < deadline:
+            await asyncio.sleep(0.05)
         if self._batcher is not None:
             loop = asyncio.get_running_loop()
             await loop.run_in_executor(self._pool, self._batcher.close)

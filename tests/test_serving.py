@@ -439,3 +439,51 @@ def test_multipart_parser_hostile_inputs_never_crash():
         assert isinstance(fields, dict)
         for k, v in fields.items():
             assert isinstance(k, str) and isinstance(v, bytes)
+
+
+def test_graceful_drain_finishes_inflight_then_rejects():
+    """shutdown() must let an in-flight request finish (its coroutine still
+    needs the executor pool after resuming) while rejecting stragglers that
+    arrive past the /ready flip."""
+    import asyncio
+    import threading
+    import time as _time
+
+    class _SlowTTS:
+        def synthesize_padded(self, ref, ref_lens, ph, ph_lens, seq_lens,
+                              t_bucket, key=None, fetch=True):
+            _time.sleep(0.3)
+            return np.zeros((ref.shape[0], 1, int(t_bucket) * 3200), np.float32)
+
+        def encode_reference(self, samples):
+            return np.zeros((4, 64), np.float32)
+
+    server = TTSServer(tts=_SlowTTS(), x402_cfg=X402Config(mode="disabled"),
+                       tokenizer=lambda t: [1, 2, 3])
+    boundary = "XB"
+    wav = make_sine_wav(0.3)
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="audio"\r\n\r\n'
+    ).encode() + wav + (
+        f"\r\n--{boundary}\r\n"
+        'Content-Disposition: form-data; name="text"\r\n\r\nhi\r\n'
+        f"--{boundary}--\r\n"
+    ).encode()
+    ctype = {"content-type": f"multipart/form-data; boundary={boundary}"}
+
+    async def scenario():
+        inflight = asyncio.create_task(server.handle(
+            "POST", "/synthesize", {"duration": "1.0"}, dict(ctype), body))
+        await asyncio.sleep(0.05)  # let it enter the pipeline
+        drain = asyncio.create_task(server.shutdown())
+        await asyncio.sleep(0.05)
+        late_status, _, late_body = await server.handle(
+            "POST", "/synthesize", {"duration": "1.0"}, dict(ctype), body)
+        status, _, out = await inflight
+        await drain
+        return status, late_status, late_body
+
+    status, late_status, late_body = run(scenario())
+    assert status == 200, "in-flight request must complete through the drain"
+    assert late_status == 503 and late_body == b"draining"
