@@ -585,3 +585,59 @@ def test_close_drains_inflight_work():
     b.close()
     for f in futs:
         assert f.result(timeout=30).shape[0] == 1
+
+
+def test_pending_counts_dispatched_unfetched_requests():
+    """pending() must include dispatched-but-unfetched requests (the
+    pipelining window) — monitoring built on the gauge must not see an
+    idle server while groups await materialization."""
+
+    class _Gate:
+        def __init__(self):
+            self.release = threading.Event()
+
+        def __array__(self, dtype=None, copy=None):
+            self.release.wait(timeout=30)
+            return np.zeros((1, 1, 16 * 3200), np.float32)
+
+    gates = []
+
+    class _TTS:
+        def synthesize_padded(self, ref, ref_lens, ph, ph_lens, seq_lens,
+                              t_bucket, key=None, fetch=True):
+            g = _Gate()
+            gates.append(g)
+            return g
+
+    b = Batcher(_TTS(), max_batch=1, window_ms=0.0)
+    try:
+        futs = [b.submit(np.zeros((4, 64), np.float32), [1], 1.0)
+                for _ in range(3)]
+        deadline = time.time() + 10
+        while b.pending() < 3 and time.time() < deadline:
+            time.sleep(0.01)
+        assert b.pending() == 3, b.pending()  # all dispatched or queued, none delivered
+        # groups dispatch (and create gates) one at a time: release
+        # continuously so every future resolves regardless of ordering
+        stop = threading.Event()
+
+        def releaser():
+            while not stop.is_set():
+                for g in list(gates):
+                    g.release.set()
+                time.sleep(0.005)
+
+        rel = threading.Thread(target=releaser, daemon=True)
+        rel.start()
+        for f in futs:
+            assert f.result(timeout=30).shape[0] == 1
+        deadline = time.time() + 10
+        while b.pending() and time.time() < deadline:
+            time.sleep(0.01)
+        assert b.pending() == 0
+        stop.set()
+        rel.join(timeout=5)
+    finally:
+        for g in list(gates):
+            g.release.set()
+        b.close()
