@@ -126,6 +126,10 @@ class OnnxFunction:
         ]
         self.output_names = [vi.name for vi in g.outputs]
         self.input_info = {vi.name: vi for vi in g.inputs}
+        # names whose values SOMETHING reads: node inputs + graph outputs
+        # (used to flag not-implemented-but-consumed node outputs early)
+        self._consumed = {i for n in g.nodes for i in n.inputs if i}
+        self._consumed.update(self.output_names)
         unsupported = sorted(
             {n.op_type for n in g.nodes if n.op_type not in _REGISTRY}
         )
@@ -185,6 +189,15 @@ class OnnxFunction:
             for name, val in zip(node.outputs, out):
                 if name:
                     env[name] = val
+            # a declared output the impl did not produce must fail HERE with
+            # a clear message, not as a bare KeyError deep inside a jit trace
+            # when a consumer looks it up (e.g. MaxPool Indices) — unconsumed
+            # optional outputs remain fine
+            for name in node.outputs[len(out):]:
+                if name and name in self._consumed:
+                    raise NotImplementedError(
+                        f"{node.op_type}: declared output {name!r} is "
+                        "consumed by the graph but not implemented")
         outs = tuple(env[name] for name in self.output_names)
         return outs[0] if len(outs) == 1 else outs
 
@@ -219,7 +232,17 @@ _ew(
         else lax.div(jnp.asarray(a), jnp.asarray(b).astype(jnp.asarray(a).dtype))
     ),
 )
-_ew("Pow", lambda a, b: jnp.power(a, jnp.asarray(b).astype(jnp.asarray(a).dtype)))
+def _pow(a, b):
+    # output takes the BASE dtype, but the math must not truncate a
+    # fractional exponent when the base is integer (pow(4, 0.5) == 2)
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if jnp.issubdtype(a.dtype, jnp.integer) and jnp.issubdtype(b.dtype, jnp.floating):
+        return jnp.power(a.astype(b.dtype), b).astype(a.dtype)
+    return jnp.power(a, b.astype(a.dtype))
+
+
+_ew("Pow", _pow)
 _ew("Sqrt", jnp.sqrt)
 _ew("Exp", jnp.exp)
 _ew("Log", jnp.log)
@@ -379,8 +402,12 @@ def _reduce(name: str, fn, needs_float=False):
             a = ctx.attr_ints("axes")
             axes = tuple(a) if a is not None else None
         keep = bool(ctx.attr_i("keepdims", 1))
-        if axes is None and ctx.attr_i("noop_with_empty_axes", 0):
+        if (axes is None or axes == ()) and ctx.attr_i("noop_with_empty_axes", 0):
             return x
+        if axes == ():
+            # an explicitly EMPTY axes tensor (without the noop attr) means
+            # reduce over ALL axes, same as an absent input
+            axes = None
         out = _fn(jnp.asarray(x), axis=axes, keepdims=keep)
         return np.asarray(out) if _is_const(x) else out
 
@@ -506,7 +533,9 @@ def _reshape(ctx, x, shape):
 def _flatten(ctx, x):
     axis = ctx.attr_i("axis", 1)
     shape = jnp.shape(x)
-    axis = axis % (len(shape) + 1) if axis < 0 else axis
+    # ONNX: negative axis means axis + rank (NOT modulo rank+1 — that is
+    # off by one for every negative value)
+    axis = axis + len(shape) if axis < 0 else axis
     a = int(np.prod(shape[:axis], dtype=np.int64))
     b = int(np.prod(shape[axis:], dtype=np.int64))
     return jnp.reshape(jnp.asarray(x), (a, b))
@@ -734,7 +763,14 @@ def _one_hot(ctx, indices, depth, values):
     axis = ctx.attr_i("axis", -1)
     d = int(to_static(depth, "OneHot depth").reshape(()))
     vals = to_static(values, "OneHot values")
-    oh = jax.nn.one_hot(jnp.asarray(indices) % d, d, axis=axis)
+    idx = jnp.asarray(indices)
+    # indices outside [-d, d-1] must yield an all-off row (no wrapping)
+    valid = (idx >= -d) & (idx < d)
+    oh = jax.nn.one_hot(jnp.where(valid, idx % d, -1), d, axis=axis)
+    ax = axis if axis >= 0 else oh.ndim + axis
+    vshape = list(jnp.shape(idx))
+    vshape.insert(ax, 1)
+    oh = oh * jnp.reshape(valid, vshape).astype(oh.dtype)
     return oh * (vals[1] - vals[0]) + vals[0]
 
 
@@ -934,10 +970,12 @@ def _conv_transpose(ctx, x, w, b=None):
             )
             total = strides[i] * (in_dim - 1) + output_padding[i] + k_eff[i] - want
             total = max(total, 0)
-            if auto == "SAME_LOWER":
-                pads.append((total - total // 2, total // 2))
-            else:
+            # spec: only SAME_UPPER puts the extra odd pad at the END;
+            # SAME_LOWER *and* NOTSET-with-output_shape put it at the START
+            if auto == "SAME_UPPER":
                 pads.append((total // 2, total - total // 2))
+            else:
+                pads.append((total - total // 2, total // 2))
     else:
         p = ctx.attr_ints("pads", [0] * (2 * n_spatial))
         pads = [(p[i], p[n_spatial + i]) for i in range(n_spatial)]
@@ -1032,16 +1070,49 @@ def _avg_pool(ctx, x):
     n_spatial = xa.ndim - 2
     kernel = ctx.attr_ints("kernel_shape")
     strides = ctx.attr_ints("strides", [1] * n_spatial)
+    dilations = ctx.attr_ints("dilations", [1] * n_spatial)
+    ceil_mode = ctx.attr_i("ceil_mode", 0)
     include_pad = ctx.attr_i("count_include_pad", 0)
-    pads = _resolve_pads(ctx, xa.shape, kernel, strides, n_spatial)
+    k_eff = [(kernel[i] - 1) * dilations[i] + 1 for i in range(n_spatial)]
+    pads = _resolve_pads(ctx, xa.shape, k_eff, strides, n_spatial)
+    explicit_pads = pads
+    if ceil_mode:  # extend the END pad so the last partial window emits
+        pads = [
+            (
+                lo,
+                hi
+                + (
+                    (_pool_out_shape(xa.shape[2 + i], k_eff[i], strides[i], lo, hi, 1) - 1)
+                    * strides[i]
+                    + k_eff[i]
+                    - (xa.shape[2 + i] + lo + hi)
+                ),
+            )
+            for i, (lo, hi) in enumerate(pads)
+        ]
     full_pads = [(0, 0), (0, 0)] + pads
     window = (1, 1) + tuple(kernel)
     win_strides = (1, 1) + tuple(strides)
-    summed = lax.reduce_window(xa, 0.0, lax.add, window, win_strides, full_pads)
-    if include_pad:
+    win_dil = (1, 1) + tuple(dilations)
+    summed = lax.reduce_window(xa, 0.0, lax.add, window, win_strides, full_pads,
+                               window_dilation=win_dil)
+    if include_pad and not ceil_mode:
         return summed / float(np.prod(kernel))
-    ones = jnp.ones(xa.shape, xa.dtype)
-    counts = lax.reduce_window(ones, 0.0, lax.add, window, win_strides, full_pads)
+    # count_include_pad counts EXPLICIT padding but never the ceil-mode
+    # extension; build the count window over ones padded accordingly
+    if include_pad:
+        ones_shape = list(xa.shape)
+        for i in range(n_spatial):
+            ones_shape[2 + i] += explicit_pads[i][0] + explicit_pads[i][1]
+        ones = jnp.ones(ones_shape, xa.dtype)
+        count_pads = [(0, 0), (0, 0)] + [
+            (0, pads[i][1] - explicit_pads[i][1]) for i in range(n_spatial)
+        ]
+    else:
+        ones = jnp.ones(xa.shape, xa.dtype)
+        count_pads = full_pads
+    counts = lax.reduce_window(ones, 0.0, lax.add, window, win_strides,
+                               count_pads, window_dilation=win_dil)
     return summed / counts
 
 
@@ -1138,6 +1209,12 @@ def _lstm(ctx, x, w, r, b=None, seq_lens=None, init_h=None, init_c=None, p=None)
             raise NotImplementedError(f"LSTM custom activations {acts}")
     if p is not None:
         raise NotImplementedError("LSTM peepholes")
+    if seq_lens is not None:
+        raise NotImplementedError(
+            "LSTM sequence_lens (per-sequence lengths would be silently "
+            "ignored — pad-and-mask outside the graph instead)")
+    if ctx.attr_i("layout", 0):
+        raise NotImplementedError("LSTM layout=1 (batch-major)")
     direction = ctx.attr_s("direction", "forward")
     hidden = ctx.attr_i("hidden_size")
     xa, wa, ra = jnp.asarray(x), jnp.asarray(w), jnp.asarray(r)
@@ -1185,6 +1262,16 @@ def _lstm(ctx, x, w, r, b=None, seq_lens=None, init_h=None, init_c=None, p=None)
 @op("GRU")
 def _gru(ctx, x, w, r, b=None, seq_lens=None, init_h=None):
     """ONNX GRU, zrh gate order, default activations; x (T,B,I)."""
+    if ctx.attrs.get("activations") is not None:
+        acts = [a.decode().lower() for a in ctx.attrs["activations"].strings]
+        if any(a not in ("sigmoid", "tanh") for a in acts):
+            raise NotImplementedError(f"GRU custom activations {acts}")
+    if seq_lens is not None:
+        raise NotImplementedError(
+            "GRU sequence_lens (per-sequence lengths would be silently "
+            "ignored — pad-and-mask outside the graph instead)")
+    if ctx.attr_i("layout", 0):
+        raise NotImplementedError("GRU layout=1 (batch-major)")
     direction = ctx.attr_s("direction", "forward")
     hidden = ctx.attr_i("hidden_size")
     lbr = ctx.attr_i("linear_before_reset", 0)

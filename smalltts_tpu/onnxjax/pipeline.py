@@ -68,14 +68,19 @@ class ImportedSmallTTS:
         num_steps: int = NUM_STEPS,
         seed: int = 0,
     ) -> None:
-        self.cond_enc = OnnxFunction(load_model(cond_encoder_path))
-        self.denoiser = OnnxFunction(load_model(denoiser_path))
-        self.codec_dec = OnnxFunction(load_model(codec_decoder_path))
-        self.codec_enc = (
-            OnnxFunction(load_model(codec_encoder_path))
-            if codec_encoder_path
-            else None
-        )
+        def load(path):
+            # base_dir anchors external-data initializers to the MODEL's
+            # directory (large exports split weights into sidecar files);
+            # resolving them against the cwd silently loads the wrong bytes
+            import os as _os
+
+            return OnnxFunction(load_model(path),
+                                base_dir=_os.path.dirname(path) or ".")
+
+        self.cond_enc = load(cond_encoder_path)
+        self.denoiser = load(denoiser_path)
+        self.codec_dec = load(codec_decoder_path)
+        self.codec_enc = load(codec_encoder_path) if codec_encoder_path else None
         self.params = {
             "cond": self.cond_enc.params,
             "den": self.denoiser.params,

@@ -450,6 +450,17 @@ def serialize_tensor(t: Tensor) -> bytes:
         _w_str(out, 8, t.name)
     if t.raw_data:
         _w_bytes(out, 9, t.raw_data)
+    elif t.float_data or t.int32_data or t.int64_data or t.uint64_data \
+            or t.external or t.data_location:
+        # typed-field / external payloads are legal inputs (tf2onnx emits
+        # float_data); silently writing a tensor with NO bytes would corrupt
+        # the copy — normalize through numpy into raw_data instead
+        arr = tensor_to_numpy(t)
+        _w_bytes(out, 9, np.ascontiguousarray(arr).tobytes())
+    elif int(np.prod(t.dims, dtype=np.int64)) not in (0,):
+        raise ValueError(
+            f"tensor {t.name!r} declares shape {tuple(t.dims)} but carries "
+            "no data payload to serialize")
     return bytes(out)
 
 

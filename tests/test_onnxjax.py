@@ -559,3 +559,113 @@ def test_encodec_style_lstm_bottleneck():
             return self.out((y + seq).permute(1, 2, 0))
 
     run_parity(M(), (torch.randn(2, 1, 64),), atol=1e-5)
+
+
+# ------------------------------------------------- ONNX spec-conformance fixes
+
+
+def _single_op_fn(op_type, n_in, attrs=None, inits=None, out_rank_hint=None):
+    """Graph with one node: inputs x0..x{n-1} (+ named initializers)."""
+    inits = inits or {}
+    in_names = [f"x{i}" for i in range(n_in)]
+    g = proto.Graph(
+        nodes=[proto.Node(op_type=op_type,
+                          inputs=in_names + list(inits),
+                          outputs=["y"], attributes=attrs or {})],
+        initializers=[proto.numpy_to_tensor(k, v) for k, v in inits.items()],
+        inputs=[proto.make_value_info(n, 1, []) for n in in_names],
+        outputs=[proto.make_value_info("y", 1, [])],
+    )
+    return OnnxFunction(parse_model(proto.serialize_model(proto.Model(graph=g))))
+
+
+def test_flatten_negative_axis():
+    """ONNX: negative axis means axis + rank (was off by one via % (rank+1))."""
+    x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    fn = _single_op_fn("Flatten", 1, {"axis": proto.attr_i("axis", -1)})
+    assert np.asarray(fn(fn.params, x)).shape == (6, 4)
+    fn = _single_op_fn("Flatten", 1, {"axis": proto.attr_i("axis", -3)})
+    assert np.asarray(fn(fn.params, x)).shape == (1, 24)
+
+
+def test_pow_integer_base_float_exponent():
+    """pow(4:int, 0.5) must be 2, not 4**int(0.5)==1."""
+    fn = _single_op_fn("Pow", 2)
+    y = np.asarray(fn(fn.params, np.array([4, 9], np.int64),
+                      np.array(0.5, np.float32)))
+    np.testing.assert_array_equal(y, [2, 3])
+    # output takes the base (integer) dtype; x64 is disabled in tests so
+    # int64 inputs surface as int32
+    assert np.issubdtype(y.dtype, np.integer)
+
+
+def test_reduce_sum_empty_axes_input_reduces_all():
+    """An explicitly EMPTY axes tensor (noop_with_empty_axes=0) means reduce
+    over ALL axes, not reduce nothing."""
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    fn = _single_op_fn("ReduceSum", 1,
+                       {"keepdims": proto.attr_i("keepdims", 0)},
+                       inits={"axes": np.zeros((0,), np.int64)})
+    np.testing.assert_allclose(np.asarray(fn(fn.params, x)), 15.0)
+
+
+def test_onehot_out_of_range_is_all_off():
+    """Indices outside [-depth, depth-1] produce all-off rows (no % wrap)."""
+    fn = _single_op_fn("OneHot", 1, {"axis": proto.attr_i("axis", -1)},
+                       inits={"depth": np.array(3, np.int64),
+                              "values": np.array([0.0, 1.0], np.float32)})
+    y = np.asarray(fn(fn.params, np.array([0, 3, -1, -4], np.int64)))
+    np.testing.assert_array_equal(
+        y, [[1, 0, 0], [0, 0, 0], [0, 0, 1], [0, 0, 0]])
+
+
+def test_average_pool_ceil_mode():
+    """ceil_mode=1 emits the last partial window (ORT: len-5 k2 s2 -> 3)."""
+    x = np.arange(5, dtype=np.float32)[None, None, :]
+    fn = _single_op_fn("AveragePool", 1, {
+        "kernel_shape": proto.attr_ints("kernel_shape", [2]),
+        "strides": proto.attr_ints("strides", [2]),
+        "ceil_mode": proto.attr_i("ceil_mode", 1),
+    })
+    y = np.asarray(fn(fn.params, x))
+    np.testing.assert_allclose(y[0, 0], [0.5, 2.5, 4.0])  # last window = mean([4])
+
+
+def test_conv_transpose_output_shape_odd_padding_at_start():
+    """With output_shape set and auto_pad NOTSET, the odd extra pad goes at
+    the START (torch ConvTranspose1d semantics match for this case)."""
+    import torch
+
+    x = np.random.RandomState(0).randn(1, 2, 5).astype(np.float32)
+    w = np.random.RandomState(1).randn(2, 3, 4).astype(np.float32)
+    fn = _single_op_fn("ConvTranspose", 2, {
+        "strides": proto.attr_ints("strides", [2]),
+        "kernel_shape": proto.attr_ints("kernel_shape", [4]),
+        "output_shape": proto.attr_ints("output_shape", [11]),
+    })
+    y = np.asarray(fn(fn.params, x, w))
+    assert y.shape == (1, 3, 11)
+    # torch reference: full (pads=0) output is len 12; total_padding = 1,
+    # all of it at the start per the ONNX else-branch
+    full = torch.nn.functional.conv_transpose1d(
+        torch.from_numpy(x), torch.from_numpy(w), stride=2).numpy()
+    np.testing.assert_allclose(y, full[:, :, 1:], rtol=1e-5, atol=1e-5)
+
+
+def test_consumed_missing_output_raises_clearly():
+    """A node output that the graph consumes but the impl does not produce
+    must raise NotImplementedError, not KeyError mid-trace."""
+    g = proto.Graph(
+        nodes=[
+            proto.Node(op_type="MaxPool", inputs=["x"], outputs=["y0", "idx"],
+                       attributes={"kernel_shape": proto.attr_ints("kernel_shape", [2]),
+                                   "strides": proto.attr_ints("strides", [2])}),
+            proto.Node(op_type="Cast", inputs=["idx"], outputs=["y"],
+                       attributes={"to": proto.attr_i("to", 1)}),
+        ],
+        inputs=[proto.make_value_info("x", 1, [])],
+        outputs=[proto.make_value_info("y", 1, [])],
+    )
+    fn = OnnxFunction(parse_model(proto.serialize_model(proto.Model(graph=g))))
+    with pytest.raises(NotImplementedError, match="Indices|idx"):
+        fn(fn.params, np.zeros((1, 1, 4), np.float32))
