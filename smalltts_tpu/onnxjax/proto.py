@@ -441,7 +441,7 @@ def _w_f32(out: bytearray, fno: int, v: float) -> None:
     out.extend(struct.pack("<f", v))
 
 
-def serialize_tensor(t: Tensor) -> bytes:
+def serialize_tensor(t: Tensor, base_dir: str = None) -> bytes:
     out = bytearray()
     for d in t.dims:
         _w_int(out, 1, d)
@@ -454,8 +454,16 @@ def serialize_tensor(t: Tensor) -> bytes:
             or t.external or t.data_location:
         # typed-field / external payloads are legal inputs (tf2onnx emits
         # float_data); silently writing a tensor with NO bytes would corrupt
-        # the copy — normalize through numpy into raw_data instead
-        arr = tensor_to_numpy(t)
+        # the copy — normalize through numpy into raw_data instead.
+        # External sidecar files resolve against the MODEL's directory, which
+        # the caller must supply — defaulting to cwd could silently embed
+        # bytes from an unrelated same-named file (ADVICE r2).
+        if (t.data_location == 1 or t.external) and base_dir is None:
+            raise ValueError(
+                f"tensor {t.name!r} stores external data; pass base_dir="
+                "<model dir> to serialize it (cwd resolution is unsafe)")
+        arr = tensor_to_numpy(t, base_dir) if base_dir is not None \
+            else tensor_to_numpy(t)
         _w_bytes(out, 9, np.ascontiguousarray(arr).tobytes())
     elif int(np.prod(t.dims, dtype=np.int64)) not in (0,):
         raise ValueError(
@@ -564,13 +572,13 @@ def serialize_value_info(vi: ValueInfo) -> bytes:
     return bytes(out)
 
 
-def serialize_graph(g: Graph) -> bytes:
+def serialize_graph(g: Graph, base_dir: str = None) -> bytes:
     out = bytearray()
     for n in g.nodes:
         _w_bytes(out, 1, serialize_node(n))
     _w_str(out, 2, g.name or "graph")
     for t in g.initializers:
-        _w_bytes(out, 5, serialize_tensor(t))
+        _w_bytes(out, 5, serialize_tensor(t, base_dir))
     for vi in g.inputs:
         _w_bytes(out, 11, serialize_value_info(vi))
     for vi in g.outputs:
@@ -578,12 +586,18 @@ def serialize_graph(g: Graph) -> bytes:
     return bytes(out)
 
 
-def serialize_model(m: Model) -> bytes:
+def serialize_model(m: Model, base_dir: str = None) -> bytes:
+    """`base_dir` resolves external-data sidecar files; defaults to the
+    directory the model was loaded from (Model._path) when available."""
+    if base_dir is None and getattr(m, "_path", None):
+        import os
+
+        base_dir = os.path.dirname(os.path.abspath(m._path))
     out = bytearray()
     _w_int(out, 1, m.ir_version or 8)
     if m.producer_name:
         _w_str(out, 2, m.producer_name)
-    _w_bytes(out, 7, serialize_graph(m.graph))
+    _w_bytes(out, 7, serialize_graph(m.graph, base_dir))
     for domain, version in (m.opset or {"": 17}).items():
         op = bytearray()
         if domain:

@@ -138,6 +138,11 @@ class Batcher:
                duration_sec: float) -> Future:
         req = Request(np.asarray(ref_latents, np.float32), token_ids, duration_sec)
         with self._lock:
+            if self._stop:
+                # a submit after close() would park a Future the dead dispatch
+                # thread can never resolve; QueueFull maps to 503 at the HTTP
+                # layer, so mid-drain streams fail fast instead of hanging
+                raise QueueFull("batcher closed")
             if len(self._queue) >= self.max_queue:
                 raise QueueFull(
                     f"batcher queue is full ({self.max_queue} pending requests)"
@@ -187,6 +192,19 @@ class Batcher:
                     leftovers.extend(item[0])
         except queue.Empty:
             pass
+        # if the dispatch thread outlived the 60 s join (blocked in the timed
+        # put), its group can still land AFTER the drain above — join once
+        # more and re-drain so those futures never dangle (the timed put in
+        # _execute re-checks _sealed, so the thread exits promptly now)
+        if self._thread.is_alive():
+            self._thread.join(timeout=10)
+            try:
+                while True:
+                    item = self._inflight.get_nowait()
+                    if item is not None:
+                        leftovers.extend(item[0])
+            except queue.Empty:
+                pass
         for r in leftovers:
             if not r.future.done():
                 r.future.set_exception(RuntimeError("batcher closed"))
@@ -228,7 +246,18 @@ class Batcher:
                 raise RuntimeError("batcher closed")
             with self._lock:
                 self._inflight_requests += len(group)
-            self._inflight.put((group, seq_lens, audio))
+            # timed put re-checking _sealed: a thread wedged here past
+            # close()'s join must fail its own group rather than park it in
+            # the queue after the final drain (ADVICE r2)
+            while True:
+                try:
+                    self._inflight.put((group, seq_lens, audio), timeout=0.5)
+                    break
+                except queue.Full:
+                    if self._sealed:
+                        with self._lock:
+                            self._inflight_requests -= len(group)
+                        raise RuntimeError("batcher closed")
         except Exception as exc:  # propagate to all waiters
             for r in group:
                 if not r.future.done():

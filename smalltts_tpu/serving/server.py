@@ -61,6 +61,11 @@ class ServerStats:
     synth_ms: "object" = field(
         default_factory=lambda: __import__("collections").deque(maxlen=STATS_WINDOW)
     )
+    # time-to-first-audio-chunk for /synthesize/stream — the metric that
+    # justifies streaming at all (playback starts after the first sentence)
+    ttfb_ms: "object" = field(
+        default_factory=lambda: __import__("collections").deque(maxlen=STATS_WINDOW)
+    )
 
 
 class TTSServer:
@@ -161,6 +166,7 @@ class TTSServer:
     def _stat_snapshot(self) -> Dict[str, float]:
         """One source of truth for /stats and /metrics."""
         ms = sorted(self.stats.synth_ms)
+        tt = sorted(self.stats.ttfb_ms)
         return {
             "requests": self.stats.requests,
             "rejected": self.stats.rejected,
@@ -169,6 +175,8 @@ class TTSServer:
             "ref_cache_misses": self.stats.ref_cache_misses,
             "synth_ms_p50": round(ms[len(ms) // 2], 2) if ms else 0.0,
             "synth_ms_p95": round(ms[int(len(ms) * 0.95)], 2) if ms else 0.0,
+            "stream_ttfb_ms_p50": round(tt[len(tt) // 2], 2) if tt else 0.0,
+            "stream_ttfb_ms_p95": round(tt[int(len(tt) * 0.95)], 2) if tt else 0.0,
         }
 
     # ------------------------------------------------------------- handlers
@@ -213,6 +221,9 @@ class TTSServer:
                 "# TYPE smalltts_synth_ms summary",
                 f'smalltts_synth_ms{{quantile="0.5"}} {st["synth_ms_p50"]}',
                 f'smalltts_synth_ms{{quantile="0.95"}} {st["synth_ms_p95"]}',
+                "# TYPE smalltts_stream_ttfb_ms summary",
+                f'smalltts_stream_ttfb_ms{{quantile="0.5"}} {st["stream_ttfb_ms_p50"]}',
+                f'smalltts_stream_ttfb_ms{{quantile="0.95"}} {st["stream_ttfb_ms_p95"]}',
             ]
             return (
                 200,
@@ -385,31 +396,52 @@ class TTSServer:
             x = np.clip(np.asarray(x, np.float32).reshape(-1), -1.0, 1.0)
             return np.rint(x * 32767.0).astype("<i2").tobytes()
 
+        # The streaming body keeps running batcher.submit/executor work while
+        # being consumed by _respond_chunked, well after _synthesize_inner
+        # returned — so it must hold its OWN drain-accounting slot, or
+        # shutdown() can close the batcher/pool mid-stream (ADVICE r2).
+        # Incrementing inside the generator body (not before returning it)
+        # can't leak if the generator is never iterated; the sub-tick gap
+        # before first iteration degrades gracefully because Batcher.submit
+        # raises QueueFull once the batcher is closed (fail fast, no hang).
         async def gen():
-            yield wav_header_unknown_len()
-            pending = None
-            t0 = time.perf_counter()
-            for chunk in split_sentences(text):
-                if not chunk.strip():
-                    continue
-                tokens = await loop.run_in_executor(self._pool, self.tokenize, chunk)
-                if not tokens:
-                    continue
-                try:
-                    fut = batcher.submit(ref_latents, tokens,
-                                         estimate_duration(chunk))
-                    audio = await asyncio.wrap_future(fut)
-                except QueueFull:
-                    self.stats.rejected += 1
-                    return  # truncate stream; client sees early EOF
-                cur = np.asarray(audio, np.float32).reshape(-1)
-                emit, pending = crossfade_stream_step(pending, cur, fade)
-                if emit is not None:
-                    yield pcm(emit)
-            if pending is not None:
-                yield pcm(pending)
-            self.stats.requests += 1
-            self.stats.synth_ms.append((time.perf_counter() - t0) * 1e3)
+            self._active += 1
+            try:
+                yield wav_header_unknown_len()
+                pending = None
+                t0 = time.perf_counter()
+                ttfb_ms = None
+                for chunk in split_sentences(text):
+                    if not chunk.strip():
+                        continue
+                    tokens = await loop.run_in_executor(
+                        self._pool, self.tokenize, chunk
+                    )
+                    if not tokens:
+                        continue
+                    try:
+                        fut = batcher.submit(ref_latents, tokens,
+                                             estimate_duration(chunk))
+                        audio = await asyncio.wrap_future(fut)
+                    except QueueFull:
+                        self.stats.rejected += 1
+                        return  # truncate stream; client sees early EOF
+                    cur = np.asarray(audio, np.float32).reshape(-1)
+                    emit, pending = crossfade_stream_step(pending, cur, fade)
+                    if emit is not None:
+                        if ttfb_ms is None:
+                            ttfb_ms = (time.perf_counter() - t0) * 1e3
+                            self.stats.ttfb_ms.append(ttfb_ms)
+                        yield pcm(emit)
+                if pending is not None:
+                    if ttfb_ms is None:
+                        self.stats.ttfb_ms.append(
+                            (time.perf_counter() - t0) * 1e3)
+                    yield pcm(pending)
+                self.stats.requests += 1
+                self.stats.synth_ms.append((time.perf_counter() - t0) * 1e3)
+            finally:
+                self._active -= 1
 
         return 200, [("content-type", "audio/wav"), *extra_headers,
                      *CORS_HEADERS], gen()
@@ -505,6 +537,13 @@ class TTSServer:
                 writer.write(f"{len(piece):x}\r\n".encode() + piece + b"\r\n")
                 await writer.drain()
         finally:
+            # close the generator NOW (not at GC) so its finally blocks —
+            # drain accounting, batcher futures — run before the connection
+            # is torn down, even when the client disconnected mid-stream
+            try:
+                await agen.aclose()
+            except Exception:
+                pass
             writer.write(b"0\r\n\r\n")
             await writer.drain()
 

@@ -669,3 +669,50 @@ def test_consumed_missing_output_raises_clearly():
     fn = OnnxFunction(parse_model(proto.serialize_model(proto.Model(graph=g))))
     with pytest.raises(NotImplementedError, match="Indices|idx"):
         fn(fn.params, np.zeros((1, 1, 4), np.float32))
+
+
+def test_serialize_external_tensor_requires_base_dir(tmp_path):
+    """ADVICE r2: serialize_tensor must not resolve external sidecar files
+    against the cwd — an unrelated same-named file there would silently
+    embed wrong bytes. No base_dir -> clear error; the model's own dir ->
+    correct bytes round-trip."""
+    payload = np.arange(6, dtype=np.float32).reshape(2, 3)
+    (tmp_path / "weights.bin").write_bytes(payload.tobytes())
+
+    t = proto.Tensor(name="w", dims=[2, 3], data_type=1,
+                     data_location=1,
+                     external={"location": "weights.bin", "offset": 0,
+                               "length": payload.nbytes})
+    with pytest.raises(ValueError, match="base_dir"):
+        proto.serialize_tensor(t)
+
+    blob = proto.serialize_tensor(t, base_dir=str(tmp_path))
+    rt = proto._parse_tensor(blob)
+    np.testing.assert_array_equal(
+        proto.tensor_to_numpy(rt), payload)
+
+
+def test_serialize_model_resolves_external_data_against_model_dir(tmp_path):
+    """serialize_model defaults base_dir to the loaded model's directory
+    (Model._path), so re-emitting an external-data model from any cwd embeds
+    the right bytes."""
+    w = np.arange(4, dtype=np.float32).reshape(2, 2)
+    (tmp_path / "w.bin").write_bytes(w.tobytes())
+    g = proto.Graph(
+        name="g",
+        nodes=[proto.Node(op_type="Identity", inputs=["w"], outputs=["y"])],
+        initializers=[proto.Tensor(
+            name="w", dims=[2, 2], data_type=1, data_location=1,
+            external={"location": "w.bin", "offset": 0, "length": w.nbytes})],
+        inputs=[],
+        outputs=[proto.make_value_info("y", 1, [2, 2])],
+    )
+    m = proto.Model(graph=g, ir_version=8, opset={"": 17})
+    (tmp_path / "m.onnx").write_bytes(proto.serialize_model(
+        m, base_dir=str(tmp_path)))
+    loaded = proto.load_model(str(tmp_path / "m.onnx"))
+    # loaded model now has raw_data inline; re-serialize from a different cwd
+    blob2 = proto.serialize_model(loaded)
+    m2 = proto.parse_model(blob2)
+    np.testing.assert_array_equal(
+        proto.tensor_to_numpy(m2.graph.initializers[0]), w)

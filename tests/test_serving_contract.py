@@ -641,3 +641,147 @@ def test_pending_counts_dispatched_unfetched_requests():
         for g in list(gates):
             g.release.set()
         b.close()
+
+
+def test_submit_after_close_raises_queue_full():
+    """ADVICE r2: a submit after close() must fail fast (mapped to 503 at
+    the HTTP layer) instead of parking a Future the dead dispatch thread can
+    never resolve."""
+
+    class _TTS:
+        def synthesize_padded(self, *a, **k):
+            return np.zeros((1, 1, 16 * 3200), np.float32)
+
+    b = Batcher(_TTS(), max_batch=1, window_ms=0.0)
+    b.close()
+    with pytest.raises(QueueFull, match="closed"):
+        b.submit(np.zeros((4, 64), np.float32), [1], 1.0)
+
+
+def test_streaming_body_holds_drain_slot():
+    """ADVICE r2 (medium): the chunked-stream generator keeps submitting
+    work after _synthesize returns, so it must hold its own _active slot —
+    otherwise shutdown() can close the batcher mid-stream and hang the
+    connection. Drive the generator directly and watch the gauge."""
+    import asyncio
+    import struct
+
+    from smalltts_tpu.serving.server import TTSServer
+    from smalltts_tpu.serving.x402 import X402Config
+
+    class _Fast:
+        def synthesize_padded(self, ref, *a, **k):
+            seq = int(a[4]) if len(a) > 4 else 16
+            return np.zeros((ref.shape[0], 1, seq * 3200), np.float32)
+
+        def encode_reference(self, x):
+            return np.zeros((4, 64), np.float32)
+
+    server = TTSServer(tts=_Fast(), x402_cfg=X402Config(mode="disabled"),
+                       tokenizer=lambda t: [1, 2, 3])
+    server._ensure_pipeline()
+
+    sr = 24_000
+    pcm16 = np.zeros(sr, "<i2").tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm16)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm16)) + pcm16)
+    boundary = "SB"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="audio"\r\n\r\n'
+    ).encode() + wav + (
+        f"\r\n--{boundary}\r\n"
+        'Content-Disposition: form-data; name="text"\r\n\r\n'
+        "one sentence here.\r\n"
+        f"--{boundary}--\r\n"
+    ).encode()
+    headers = {"content-type": f"multipart/form-data; boundary={boundary}"}
+
+    async def drive():
+        status, _, agen = await server.handle(
+            "POST", "/synthesize/stream", {"duration": "2"}, headers, body)
+        assert status == 200
+        assert server._active == 0  # handler slot released on return
+        it = agen.__aiter__()
+        await it.__anext__()  # wav header: generator now running
+        assert server._active == 1, "stream must hold a drain slot"
+        # exhaust
+        try:
+            while True:
+                await it.__anext__()
+        except StopAsyncIteration:
+            pass
+        assert server._active == 0
+        # TTFB recorded for the stream
+        snap = server._stat_snapshot()
+        assert snap["stream_ttfb_ms_p50"] > 0.0
+
+        # an ABANDONED stream must release its slot via aclose (the
+        # transport closes the generator on client disconnect)
+        status, _, agen2 = await server.handle(
+            "POST", "/synthesize/stream", {"duration": "2"}, headers, body)
+        it2 = agen2.__aiter__()
+        await it2.__anext__()
+        assert server._active == 1
+        await agen2.aclose()
+        assert server._active == 0
+
+    loop = asyncio.new_event_loop()
+    try:
+        loop.run_until_complete(drive())
+        loop.run_until_complete(server.shutdown(drain_timeout_s=2))
+    finally:
+        loop.close()
+
+
+def test_stream_after_batcher_close_fails_fast():
+    """A stream racing past /ready during drain must truncate promptly
+    (submit raises once closed) instead of hanging on a parked Future."""
+    import asyncio
+    import struct
+
+    from smalltts_tpu.serving.server import TTSServer
+    from smalltts_tpu.serving.x402 import X402Config
+
+    class _Fast:
+        def synthesize_padded(self, ref, *a, **k):
+            return np.zeros((ref.shape[0], 1, 16 * 3200), np.float32)
+
+        def encode_reference(self, x):
+            return np.zeros((4, 64), np.float32)
+
+    server = TTSServer(tts=_Fast(), x402_cfg=X402Config(mode="disabled"),
+                       tokenizer=lambda t: [1, 2, 3])
+    server._ensure_pipeline()
+
+    sr = 24_000
+    pcm16 = np.zeros(sr, "<i2").tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm16)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm16)) + pcm16)
+    boundary = "SB"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="audio"\r\n\r\n'
+    ).encode() + wav + (
+        f"\r\n--{boundary}\r\n"
+        'Content-Disposition: form-data; name="text"\r\n\r\n'
+        "a sentence.\r\n"
+        f"--{boundary}--\r\n"
+    ).encode()
+    headers = {"content-type": f"multipart/form-data; boundary={boundary}"}
+
+    async def drive():
+        status, _, agen = await server.handle(
+            "POST", "/synthesize/stream", {"duration": "2"}, headers, body)
+        assert status == 200
+        server._batcher.close()  # drain completed while stream was parked
+        chunks = [c async for c in agen]  # must terminate, not hang
+        assert len(chunks) <= 1  # header at most; no audio after close
+
+    loop = asyncio.new_event_loop()
+    try:
+        loop.run_until_complete(asyncio.wait_for(drive(), timeout=30))
+    finally:
+        loop.close()
