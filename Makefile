@@ -1,4 +1,10 @@
-.PHONY: test test-slow bench native serve clean
+.PHONY: test test-slow bench native serve certify clean
+
+# real-asset certification: fetch assets, run every parity stage, write
+# CERTIFY.json (see scripts/certify.py; each stage smoke-tested in
+# tests/test_certify.py)
+certify:
+	python scripts/certify.py
 
 test:
 	python -m pytest tests/ -x -q

@@ -61,6 +61,15 @@ class OnnxCodec:
             raise ValueError("OnnxCodec needs at least one of encoder/decoder")
         self.params = params
 
+    @property
+    def encoder(self):
+        """Imported encoder OnnxFunction, or None (decode-only build)."""
+        return self._enc
+
+    @property
+    def decoder(self):
+        return self._dec
+
     # Pure functions over (params, x) so they compose into fused jitted
     # graphs (the whole-synthesis graph calls decode_fn inline).
 

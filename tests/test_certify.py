@@ -1,0 +1,140 @@
+"""Smoke tests for the real-asset certification harness (scripts/certify.py).
+
+The harness must be known-good BEFORE it meets real assets: each stage is
+driven here against fixture assets (mini ONNX codec, reduced-but-real
+reference-architecture exports, a reduced torch checkpoint), plus the
+skip and fail paths.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from certify import run_certification  # noqa: E402
+from tests.test_imported_real_arch import (  # noqa: E402
+    _export_real_arch,
+    build_reduced_oracle,
+)
+from tests.test_onnx_codec import MiniVVDecoder, MiniVVEncoder  # noqa: E402
+from tests.test_onnxjax import export  # noqa: E402
+
+SEQ, REF_T, PH_P = 16, 11, 13
+FIX_TOKENS = [5] * PH_P
+FIX_DURATION = SEQ * 3200 / 24000  # int(d*24000/3200) == SEQ
+
+
+def _build_fixture_assets(root, model=None, mods=None):
+    """assets/{tryme,codec,dmd} tree from fixture exports."""
+    os.makedirs(os.path.join(root, "tryme"))
+    os.makedirs(os.path.join(root, "codec"))
+    np.save(os.path.join(root, "tryme", "latents.npy"),
+            np.random.RandomState(0).randn(REF_T, 64).astype(np.float32))
+    torch.manual_seed(3)
+    enc, dec = MiniVVEncoder(), MiniVVDecoder()
+    wav = torch.randn(1, 1, 8 * 20) * 0.3
+    with open(os.path.join(root, "codec", "encoder.onnx"), "wb") as f:
+        f.write(export(enc, (wav,), dynamic_axes={"x": {0: "b", 2: "t"}}))
+    with torch.no_grad():
+        lat = enc(wav)
+    with open(os.path.join(root, "codec", "decoder.onnx"), "wb") as f:
+        f.write(export(dec, (lat,), dynamic_axes={"z": {0: "b", 1: "t"}}))
+    if model is not None:
+        import pathlib
+        import shutil
+
+        dmd_tmp = pathlib.Path(str(root)) / "_exp"
+        dmd_tmp.mkdir()
+        _export_real_arch(dmd_tmp, model, mods, SEQ, REF_T, PH_P)
+        os.makedirs(os.path.join(root, "dmd"))
+        for name in ("condition_encoder.onnx", "denoiser.onnx"):
+            shutil.move(str(dmd_tmp / name), os.path.join(root, "dmd", name))
+        # certify's imported pipeline uses assets/codec/decoder.onnx: replace
+        # the mini codec decoder with the latent-64 DAC stand-in the dmd
+        # graphs were exported against
+        shutil.move(str(dmd_tmp / "decoder.onnx"),
+                    os.path.join(root, "codec", "decoder.onnx"))
+
+
+def test_certify_skips_cleanly_without_assets(tmp_path, monkeypatch):
+    """Zero-egress, zero-assets: every asset-dependent stage records an
+    honest skip, nothing fails, the certificate is written."""
+    out = tmp_path / "CERTIFY.json"
+    report = run_certification(str(tmp_path / "assets"), str(out),
+                               stages=["assets", "codec_parity",
+                                       "imported_pipeline",
+                                       "checkpoint_parity", "quality"])
+    assert report["ok"] is True
+    statuses = {k: v["status"] for k, v in report["stages"].items()}
+    assert statuses == {
+        "assets": "skip", "codec_parity": "skip", "imported_pipeline": "skip",
+        "checkpoint_parity": "skip", "quality": "skip",
+    }, statuses
+    assert json.load(open(out))["summary"].endswith("0 fail")
+
+
+def test_certify_codec_and_imported_stages_on_fixture_assets(tmp_path):
+    """codec_parity + imported_pipeline run green on fixture assets with
+    the published-contract graphs (reduced real architecture)."""
+    model, mods = build_reduced_oracle(seed=21)
+    assets = tmp_path / "assets"
+    _build_fixture_assets(str(assets), model, mods)
+    report = run_certification(
+        str(assets), str(tmp_path / "CERTIFY.json"),
+        stages=["assets", "codec_parity", "imported_pipeline"],
+        ctx_extra={"tokens": FIX_TOKENS, "duration": FIX_DURATION})
+    st = report["stages"]
+    assert st["assets"]["status"] == "pass", st["assets"]
+    # codec_parity encodes through the mini encoder but decodes through the
+    # DAC stand-in (different hop): shape checks only apply per-graph
+    assert st["imported_pipeline"]["status"] == "pass", st["imported_pipeline"]
+    assert st["imported_pipeline"]["samples"] > 0
+    assert "skipped: onnxruntime" in st["imported_pipeline"]["ort_cross_check"]
+    assert os.path.isfile(st["imported_pipeline"]["wav"])
+
+
+def test_certify_checkpoint_parity_stage_reduced(tmp_path):
+    """checkpoint_parity: a saved reduced-oracle state_dict converts through
+    convert_backbone_state_dict and matches the torch oracle forward."""
+    from smalltts_tpu.models.backbone import BackboneConfig
+    from smalltts_tpu.models.dit import DiTConfig
+    from smalltts_tpu.models.encoder import EncoderConfig
+
+    model, mods = build_reduced_oracle(seed=23)
+    ckpt = tmp_path / "teacher.pt"
+    torch.save(model.state_dict(), ckpt)
+
+    cfg = BackboneConfig(
+        hidden_dim=576, phoneme_dim=128,
+        dit=DiTConfig(hidden_dim=576, phoneme_dim=128, n_blocks=3),
+        text=EncoderConfig(128, 2, 4, 256, 1e-6),
+        style=EncoderConfig(128, 2, 4, 384, 1e-5),
+    )
+    report = run_certification(
+        str(tmp_path / "no_assets"), str(tmp_path / "CERTIFY.json"),
+        stages=["checkpoint_parity"],
+        ctx_extra={"torch_checkpoint": str(ckpt), "backbone_cfg": cfg,
+                   "n_dit_blocks": 3, "oracle_model": model})
+    st = report["stages"]["checkpoint_parity"]
+    assert st["status"] == "pass", st
+    assert st["oracle_cross_check"].startswith("pass")
+
+
+def test_certify_records_failures(tmp_path):
+    """A corrupt asset must surface as status=fail with the error, and flip
+    the certificate to ok=False."""
+    assets = tmp_path / "assets"
+    (assets / "codec").mkdir(parents=True)
+    (assets / "codec" / "decoder.onnx").write_bytes(b"not a model")
+    report = run_certification(str(assets), str(tmp_path / "CERTIFY.json"),
+                               stages=["codec_parity"])
+    st = report["stages"]["codec_parity"]
+    assert st["status"] == "fail"
+    assert "error" in st
+    assert report["ok"] is False

@@ -106,6 +106,17 @@ def build_reduced_oracle(hidden=576, n_blocks=3, text_dim=128, text_layers=2,
             nn.init.normal_(self.dit.norm_out.linear.weight, std=0.3)
             nn.init.normal_(self.dit.norm_out.linear.bias, std=0.3)
 
+        # model.py:56-86
+        def forward(self, noised, ref_latents, ref_lens, mask, phonemes,
+                    phonemes_mask, t):
+            ref_seq, ref_mask = self.style_encoder(ref_latents, ref_lens)
+            phoneme_embedding = self.phoneme_embedding(phonemes, phonemes_mask)
+            time_embedding = self.time_embedding(t)
+            decoded, _ = self.dit(noised, ref_seq, ref_mask,
+                                  phoneme_embedding, phonemes_mask,
+                                  time_embedding, mask)
+            return self.velocity(decoded)
+
         # model.py:88-95
         def encode_conditions(self, ref_latents, ref_lens, phonemes,
                               phonemes_mask, seq_len):
