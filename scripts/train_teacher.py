@@ -27,11 +27,14 @@ def main() -> None:
 
     from smalltts_tpu.train.teacher import TeacherTrainConfig, train_teacher
 
-    mesh = None
-    if args.dp > 1:
-        from smalltts_tpu.parallel.mesh import make_mesh
+    # single device, --dp N local data-parallel, or multi-host via
+    # SMALLTTS_COORDINATOR/NUM_PROCESSES/PROCESS_ID env vars (the
+    # `accelerate launch` equivalent; see parallel/multihost.py) — in the
+    # distributed case --batch-size is PER PROCESS and checkpoints/logs are
+    # coordinator-only
+    from smalltts_tpu.parallel.multihost import auto_mesh
 
-        mesh = make_mesh(dp=args.dp, tp=1)
+    mesh = auto_mesh(dp=args.dp, tp=1)
 
     data_iter = None
     if args.data_dir:

@@ -103,9 +103,21 @@ def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
+    """Host batch -> dp-sharded device batch.
+
+    Multi-process aware: under a process-spanning mesh (jax.distributed),
+    each process passes its LOCAL slice of the global batch (local_bs =
+    global_bs / process_count) and receives the global array view — the
+    same call sites work single-host and multi-host (see
+    parallel/multihost.py and scripts/dryrun_multihost.py)."""
+    multiprocess = jax.process_count() > 1
+
     def put(x):
         if hasattr(x, "ndim") and x.ndim >= 1:
-            return jax.device_put(x, data_sharding(mesh, x.ndim))
+            sharding = data_sharding(mesh, x.ndim)
+            if multiprocess:
+                return jax.make_array_from_process_local_data(sharding, x)
+            return jax.device_put(x, sharding)
         return x
 
     return jax.tree.map(put, {k: v for k, v in batch.items() if k != "texts"})

@@ -147,6 +147,11 @@ def train_teacher(
     # ~4 GB of weights+state per save at full size: serialize off-thread so
     # the step loop never stalls on disk (utils/checkpoint.AsyncCheckpointer)
     saver = ckpt.AsyncCheckpointer()
+    # multi-host: single-writer checkpoints + coordinator-only logs, like the
+    # reference's accelerator.is_main_process gating (teacher.py:160-171).
+    # Params are dp-replicated (fully addressable per process), so the
+    # writer's device_get needs no cross-process gather.
+    writer = jax.process_index() == 0
 
     for step in range(start_step, train_cfg.num_steps):
         batch = next(data_iter)
@@ -157,9 +162,9 @@ def train_teacher(
         params, opt_state, ema_params, loss = step_fn(
             params, opt_state, ema_params, batch, k_step
         )
-        if step % log_every == 0:
+        if step % log_every == 0 and writer:
             print(f"step {step}: teacher_loss={float(loss):.4f} lr={float(sched(step)):.2e}")
-        if step % train_cfg.save_every == 0 and step > 1:
+        if step % train_cfg.save_every == 0 and step > 1 and writer:
             # portable weights (raw + EMA) AND resumable full trainer state
             saver.wait()  # previous save fully on disk before re-snapshot
             saver.save_pytree(f"{checkpoint_dir}/checkpoint_latest.npz", params)
