@@ -56,6 +56,12 @@ def main() -> None:
     ap.add_argument("--soak-seconds", type=float, default=0.0,
                     help="run clients in a loop until the deadline and report "
                          "RSS growth (leak check) instead of fixed request counts")
+    ap.add_argument("--stream", action="store_true",
+                    help="bench /synthesize/stream with a multi-sentence text "
+                         "and report time-to-first-audio-chunk (TTFB) p50/p95 "
+                         "— the metric that justifies streaming")
+    ap.add_argument("--sentences", type=int, default=4,
+                    help="sentences per streamed request (--stream)")
     args = ap.parse_args()
 
     import os
@@ -79,8 +85,15 @@ def main() -> None:
 
     server = TTSServer(tts=tts, x402_cfg=X402Config(mode="disabled"),
                        max_batch=args.max_batch)
+    text = "the quick brown fox jumps over it"
+    if args.stream:
+        # sentences long enough that long_form won't merge them (~330 chars)
+        text = " ".join(
+            (f"sentence number {i} " * 12).strip() + "."
+            for i in range(args.sentences)
+        )
     bodies = [
-        multipart(make_wav(0.6, 440.0 + 20 * v), "the quick brown fox jumps over it")
+        multipart(make_wav(0.6, 440.0 + 20 * v), text)
         for v in range(max(1, args.distinct_voices))
     ]
 
@@ -94,19 +107,39 @@ def main() -> None:
 
         lock = threading.Lock()
 
+        ttfb: list[float] = []
+
         def client(cid: int, n_req: int, deadline: float = 0.0) -> None:
             conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
             j = 0
             while (j < n_req) if not deadline else (time.perf_counter() < deadline):
                 body, ctype = bodies[(cid + j) % len(bodies)]
                 t0 = time.perf_counter()
-                conn.request("POST", f"/synthesize?duration={args.duration}",
-                             body, {"Content-Type": ctype})
-                r = conn.getresponse()
-                data = r.read()
-                assert r.status == 200 and data[:4] == b"RIFF", (r.status, data[:80])
-                with lock:
-                    lat.append(time.perf_counter() - t0)
+                if args.stream:
+                    # chunked endpoint closes the connection per response
+                    conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                      timeout=600)
+                    conn.request(
+                        "POST", f"/synthesize/stream?duration={args.duration}",
+                        body, {"Content-Type": ctype})
+                    r = conn.getresponse()
+                    assert r.status == 200, r.status
+                    head = r.read(44)      # streaming RIFF header
+                    first = r.read(2)      # first PCM sample of sentence 1
+                    t_first = time.perf_counter()
+                    data = head + first + r.read()
+                    assert data[:4] == b"RIFF" and len(data) > 46, len(data)
+                    with lock:
+                        ttfb.append(t_first - t0)
+                        lat.append(time.perf_counter() - t0)
+                else:
+                    conn.request("POST", f"/synthesize?duration={args.duration}",
+                                 body, {"Content-Type": ctype})
+                    r = conn.getresponse()
+                    data = r.read()
+                    assert r.status == 200 and data[:4] == b"RIFF", (r.status, data[:80])
+                    with lock:
+                        lat.append(time.perf_counter() - t0)
                 j += 1
 
         # clients need their own pool: the loop's default executor is shared
@@ -150,6 +183,18 @@ def main() -> None:
             "max_batch": args.max_batch,
             "distinct_voices": args.distinct_voices,
         }
+        if args.stream:
+            ttfb.sort()
+            out["metric"] = "serving_stream_ttfb_ms"
+            out["ttfb_p50_ms"] = round(
+                1e3 * ttfb[len(ttfb) // 2], 1) if ttfb else 0.0
+            out["ttfb_p95_ms"] = round(
+                1e3 * ttfb[min(int(len(ttfb) * 0.95), len(ttfb) - 1)], 1
+            ) if ttfb else 0.0
+            out["value"] = out["ttfb_p50_ms"]
+            out["sentences"] = args.sentences
+            # server-side view of the same metric (cross-check)
+            out["server_stats"] = server._stat_snapshot()
         if args.soak_seconds:
             out["soak_seconds"] = args.soak_seconds
             out["rss_before_mb"] = round(rss_before, 1)

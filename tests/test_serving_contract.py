@@ -785,3 +785,76 @@ def test_stream_after_batcher_close_fails_fast():
         loop.run_until_complete(asyncio.wait_for(drive(), timeout=30))
     finally:
         loop.close()
+
+
+def test_stream_first_chunk_before_last_sentence_synthesized():
+    """The point of /synthesize/stream: the first audio chunk must be
+    delivered while LATER sentences are still unsynthesized (playback
+    starts after sentence 1). Instrumented fake TTS counts synthesis calls;
+    when the first PCM piece arrives, most sentences must still be
+    pending."""
+    import asyncio
+    import struct
+
+    from smalltts_tpu.serving.server import TTSServer
+    from smalltts_tpu.serving.x402 import X402Config
+
+    calls = []
+
+    class _Slow:
+        def synthesize_padded(self, ref, *a, **k):
+            calls.append(time.monotonic())
+            time.sleep(0.25)  # per-sentence synthesis cost
+            return np.zeros((ref.shape[0], 1, 16 * 3200), np.float32)
+
+        def encode_reference(self, x):
+            return np.zeros((4, 64), np.float32)
+
+    server = TTSServer(tts=_Slow(), x402_cfg=X402Config(mode="disabled"),
+                       tokenizer=lambda t: [1, 2, 3])
+    server._ensure_pipeline()
+
+    sr = 24_000
+    pcm16 = np.zeros(sr, "<i2").tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm16)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm16)) + pcm16)
+    n_sentences = 4
+    text = " ".join((f"sentence number {i} " * 12).strip() + "."
+                    for i in range(n_sentences))
+    boundary = "SB"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="audio"\r\n\r\n'
+    ).encode() + wav + (
+        f"\r\n--{boundary}\r\n"
+        'Content-Disposition: form-data; name="text"\r\n\r\n'
+        + text + "\r\n"
+        f"--{boundary}--\r\n"
+    ).encode()
+    headers = {"content-type": f"multipart/form-data; boundary={boundary}"}
+
+    async def drive():
+        status, _, agen = await server.handle(
+            "POST", "/synthesize/stream", {"duration": "2"}, headers, body)
+        assert status == 200
+        n_calls_at_first_pcm = None
+        pieces = 0
+        async for piece in agen:
+            pieces += 1
+            if pieces == 2 and n_calls_at_first_pcm is None:
+                # piece 1 = RIFF header; piece 2 = first synthesized PCM
+                n_calls_at_first_pcm = len(calls)
+        return n_calls_at_first_pcm, pieces
+
+    loop = asyncio.new_event_loop()
+    try:
+        n_at_first, pieces = loop.run_until_complete(
+            asyncio.wait_for(drive(), timeout=60))
+    finally:
+        loop.close()
+    assert pieces >= n_sentences  # header + one piece per sentence
+    # first PCM must arrive before the final sentence has even STARTED:
+    # with crossfade holdback the first emit happens during sentence 2
+    assert n_at_first is not None and n_at_first < n_sentences, (
+        f"first audio chunk only after {n_at_first}/{n_sentences} sentences")
