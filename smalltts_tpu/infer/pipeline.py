@@ -98,6 +98,7 @@ class SmallTTS:
         mesh=None,
         codec="auto",
         sampler: str = "auto",
+        w8_modulation: bool = False,
     ) -> None:
         """`sampler` selects the few-step recurrence:
         - "dmd": the reference-parity 4-step fresh-noise loop;
@@ -161,15 +162,24 @@ class SmallTTS:
                     lambda k: init_codec(k, self.codec_cfg)
                 )(jax.random.PRNGKey(seed + 1))
 
+        backbone_host = ckpt.cast_floating(backbone_params, dtype)
+        if w8_modulation:
+            # int8 adaLN modulation weights + Pallas per-tile dequant: the
+            # one w8 shape that wins (M=batch pure weight streaming, PERF.md
+            # "w8 kernels"); quantize AFTER the dtype cast so the fp32
+            # scales survive (cast_floating would downcast them)
+            from smalltts_tpu.models.dit import quantize_modulations
+
+            backbone_host = quantize_modulations(backbone_host)
         if mesh is not None:
             from smalltts_tpu.parallel.mesh import shard_params
 
-            self.params = shard_params(ckpt.cast_floating(backbone_params, dtype), mesh)
+            self.params = shard_params(backbone_host, mesh)
             self.codec_params = shard_params(
                 ckpt.cast_floating(codec_params, jnp.float32), mesh
             )
         else:
-            self.params = jax.device_put(ckpt.cast_floating(backbone_params, dtype))
+            self.params = jax.device_put(backbone_host)
             self.codec_params = jax.device_put(
                 ckpt.cast_floating(codec_params, jnp.float32)
             )

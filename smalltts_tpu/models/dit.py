@@ -155,14 +155,55 @@ def _emb_proj(p, emb):
 def _all_block_modulations(blocks, emb):
     """Precompute every block's adaLN-zero modulation in ONE wide einsum:
     (B, H) x (L, H, 6H) -> (L, B, 6H), threaded into the scan as xs — instead
-    of L small latency-bound matmuls inside the scan body per step."""
+    of L small latency-bound matmuls inside the scan body per step.
+
+    When the params carry int8 modulation weights (quantize_modulations),
+    the Pallas w8 kernel streams half the HBM bytes — the one shape where
+    w8 measured a clear win (M=8 pure weight streaming, 2.7x; PERF.md
+    "w8 kernels")."""
+    lin = blocks["attn_norm"]["linear"]
     s = jax.nn.silu(emb)
-    w = blocks["attn_norm"]["linear"]["w"]
-    b = blocks["attn_norm"]["linear"]["b"]
+    b = lin["b"]
+    if "w_q" in lin:
+        from smalltts_tpu.ops.pallas.w8 import (
+            w8_matmul_all_layers,
+            w8_matmul_ref,
+        )
+
+        if jax.default_backend() == "tpu":
+            mod = w8_matmul_all_layers(s, lin["w_q"], lin["scale"])
+        else:  # same compute order, XLA fallback (CPU tests / parity oracle)
+            mod = jax.vmap(lambda wq, sc: w8_matmul_ref(s, wq, sc))(
+                lin["w_q"], lin["scale"])
+        return (mod.astype(jnp.float32)
+                + b[:, None, :].astype(jnp.float32)).astype(s.dtype)
     mod = jnp.einsum(
-        "bh,lhm->lbm", s, w.astype(s.dtype), preferred_element_type=jnp.float32
+        "bh,lhm->lbm", s, lin["w"].astype(s.dtype),
+        preferred_element_type=jnp.float32
     )
     return (mod + b[:, None, :].astype(jnp.float32)).astype(s.dtype)
+
+
+def quantize_modulations(params):
+    """Backbone params -> same pytree with the stacked adaLN modulation
+    weights stored int8 + per-channel scale (ops/pallas/w8.quantize_w8).
+
+    Only the (L, H, 6H) modulation stack is touched: at serving batch the
+    modulation matmul is pure weight streaming (M = batch), so int8 halves
+    its HBM time; every other matmul measured <= 1.0x under w8 (PERF.md).
+    Opt-in via SmallTTS(w8_modulation=True)."""
+    from smalltts_tpu.ops.pallas.w8 import quantize_w8
+
+    params = jax.tree.map(lambda x: x, params)  # shallow copy of the tree
+    dit = params["dit"] if "dit" in params else params
+    lin = dit["blocks"]["attn_norm"]["linear"]
+    if "w_q" in lin:
+        return params
+    w_q, scale = quantize_w8(lin["w"])
+    dit["blocks"]["attn_norm"]["linear"] = {
+        "w_q": w_q, "scale": scale, "b": lin["b"],
+    }
+    return params
 
 
 def _apply_adaln_zero(mod, x, eps=1e-6):

@@ -154,3 +154,49 @@ def w8_matmul_stacked(
         ),
         interpret=interpret,
     )(jnp.asarray(idx, jnp.int32).reshape(1), x, w_q, scale3)
+
+
+def _w8_all_layers_kernel(x_ref, w_ref, s_ref, o_ref):
+    x = x_ref[:]
+    w = w_ref[0].astype(x.dtype)
+    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc * s_ref[0, 0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def w8_matmul_all_layers(
+    x: jax.Array,      # (M, K)
+    w_q: jax.Array,    # (L, K, N) int8
+    scale: jax.Array,  # (L, N) f32
+    interpret: bool = False,
+) -> jax.Array:
+    """(M, K) x every layer of (L, K, N) -> (L, M, N).
+
+    For the HOISTED adaLN modulation matmul (dit._all_block_modulations):
+    grid over L, each program DMAs one int8 layer slice into VMEM,
+    dequantizes on the VPU, and hits the MXU — the 2.7x M=8 win from
+    PERF.md "w8 kernels" without any scan plumbing."""
+    m, k = x.shape
+    l, kk, n = w_q.shape
+    assert k == kk and scale.shape == (l, n), (w_q.shape, scale.shape)
+    return pl.pallas_call(
+        _w8_all_layers_kernel,
+        grid=(l,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, m, n), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l, m, n), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * l * m * k * n,
+            bytes_accessed=l * (x.size * x.dtype.itemsize + k * n + 4 * n
+                                + m * n * x.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w_q, scale[:, None, :])
