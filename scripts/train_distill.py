@@ -20,14 +20,19 @@ def main() -> None:
                          "default: dummy random tensors")
     ap.add_argument("--data-codec-checkpoint", default=None,
                     help="native codec weights for corpus encoding")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel ways (0 = single device); multi-host "
+                         "via SMALLTTS_COORDINATOR env (parallel/multihost.py)")
     args = ap.parse_args()
 
     from smalltts_tpu.data.local import cli_data_iter
 
+    from smalltts_tpu.parallel.multihost import auto_mesh
     from smalltts_tpu.train.distill import DistillConfig, train_distill
 
     train_distill(
         DistillConfig(num_steps=args.steps, batch_size=args.batch_size),
+        mesh=auto_mesh(dp=args.dp, tp=1),
         teacher_checkpoint=args.teacher,
         asr_checkpoint=args.asr,
         sv_checkpoint=args.sv,

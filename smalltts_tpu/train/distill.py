@@ -348,12 +348,17 @@ def train_distill(
     data_iter=None,
     seed: int = 0,
     params_override: Optional[dict] = None,
+    mesh=None,
 ):
     """Full distillation loop: student + scorer init from teacher EMA
     (distill.py:156-159); frozen teacher/ASR/SV; three optimizers AdamW 1e-5.
 
     `params_override` (dict with teacher/asr/sv/student/scorer/disc) bypasses
     checkpoint loading — used by tests and smoke runs.
+
+    `mesh` (jax.sharding.Mesh with a "dp" axis) data-parallelizes the whole
+    composite (student/disc/scorer steps) — single- or multi-host (see
+    parallel/multihost.py); checkpoints/logs are coordinator-only.
     """
     from dataclasses import replace
 
@@ -394,6 +399,15 @@ def train_distill(
     tx_student = distill_optimizer(student)
     tx_scorer = distill_optimizer(scorer)
     tx_disc = distill_optimizer(disc)
+    if mesh is not None:
+        from smalltts_tpu.parallel.mesh import replicated
+
+        teacher = replicated(teacher, mesh)
+        asr = replicated(asr, mesh)
+        sv = replicated(sv, mesh)
+        student = replicated(student, mesh)
+        scorer = replicated(scorer, mesh)
+        disc = replicated(disc, mesh)
     opt_student = tx_student.init(student)
     opt_scorer = tx_scorer.init(scorer)
     opt_disc = tx_disc.init(disc)
@@ -404,10 +418,18 @@ def train_distill(
 
     data_iter = data_iter or get_dummy_dataloader(train_cfg.batch_size, seed)
     saver = ckpt.AsyncCheckpointer()
+    # multi-host: single-writer checkpoints + coordinator-only logs (see
+    # parallel/multihost.py; params are replicated so device_get is local)
+    writer = jax.process_index() == 0
     metrics = {}
     for step in range(train_cfg.num_steps):
         batch = next(data_iter)
-        batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "texts"}
+        if mesh is not None:
+            from smalltts_tpu.parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, mesh)
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "texts"}
         key, k1, k2, k3 = jax.random.split(key, 4)
         student, opt_student, carry, metrics = student_step(
             student, opt_student, teacher, scorer, disc, asr, sv, batch,
@@ -419,9 +441,9 @@ def train_distill(
         )
         metrics = {**{k: float(v) for k, v in metrics.items()},
                    "disc_loss": float(disc_loss), "scorer_loss": float(scorer_loss)}
-        if step % 50 == 0:
+        if step % 50 == 0 and writer:
             print(f"step {step}: " + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
-        if step % train_cfg.save_every == 0 and step > 1:
+        if step % train_cfg.save_every == 0 and step > 1 and writer:
             saver.wait()
             saver.save_pytree(f"{checkpoint_dir}/student_latest.npz", student)
             saver.save_pytree(f"{checkpoint_dir}/scorer_latest.npz", scorer)

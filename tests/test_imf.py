@@ -132,21 +132,35 @@ def test_train_imf_driver(tmp_path, setup):
     assert (tmp_path / "imf_student_latest.npz").exists()
 
 
-def test_smalltts_autodetects_imf_student(setup):
-    """SmallTTS(sampler='auto') routes r_gate checkpoints through the
-    1-step integral-velocity sampler, same bucketed serving surface."""
+def test_smalltts_sampler_policy(setup):
+    """Quality-gated policy (tests/test_imf_quality.py): sampler='auto'
+    NEVER silently selects the few-step student — r_gate checkpoints serve
+    through the reference-parity DMD-4 recurrence (u(x,t,t) == v(x,t)), and
+    'imf' is explicit opt-in defaulting to the corpus-gated 2 steps."""
     from smalltts_tpu.infer.pipeline import SmallTTS
     from smalltts_tpu.models.codec import init_codec
     from tests.tiny import TINY_CODEC
 
     teacher, batch, _ = setup
     student = init_imf_student(teacher)
+    # auto on an IMF checkpoint -> DMD-4 (the round-2 behavior, auto->imf-1,
+    # was a quality trap per VERDICT; the corpus gate demoted it)
     tts = SmallTTS(
         student, init_codec(jax.random.PRNGKey(5), TINY_CODEC),
         cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
     )
-    assert tts.sampler == "imf" and tts.num_steps == 1
+    assert tts.sampler == "dmd" and tts.num_steps == 4
     audio = tts.synthesize(np.asarray(batch["ref_latents"][0]), [1, 2, 3], 1.0)
+    assert audio.shape == (1, 8 * 3200)
+    assert np.isfinite(audio).all()
+
+    # explicit opt-in -> IMF with the corpus-gated 2-step default
+    tts_imf = SmallTTS(
+        student, init_codec(jax.random.PRNGKey(5), TINY_CODEC),
+        cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC, sampler="imf",
+    )
+    assert tts_imf.sampler == "imf" and tts_imf.num_steps == 2
+    audio = tts_imf.synthesize(np.asarray(batch["ref_latents"][0]), [1, 2, 3], 1.0)
     assert audio.shape == (1, 8 * 3200)
     assert np.isfinite(audio).all()
 

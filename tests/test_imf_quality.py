@@ -12,10 +12,14 @@ proven to separate these speakers in test_synthetic.py) of:
     DMD2 student 4-step  (the reference-parity serving path)
     IMF student 2-step / 1-step
 
-The gate: IMF-2 must be within a stated margin of the 4-step DMD student
-on BOTH metrics; IMF-1's numbers are recorded and bounded more loosely.
-This is the evidence behind the `sampler="auto"` policy in
-infer/pipeline.py (see test_auto_sampler_policy there for the wiring).
+OUTCOME (the run that set the policy): DMD-4 reaches the codec's own mel
+floor (excess 0.039) while IMF-2/IMF-1 measure 0.336/0.546 — few-step is
+NOT mel-parity on this corpus, though it slightly beats DMD on SV
+similarity (0.968 vs 0.939). This demoted `sampler="auto"` to always
+resolve "dmd" (infer/pipeline.py; test_imf.py::test_smalltts_sampler_policy
+pins the wiring) and set the explicit-IMF default to 2 steps (IMF-2 beats
+IMF-1). The assertions below pin these measured relationships; the final
+one FAILS LOUDLY if IMF ever closes the gap, prompting a policy revisit.
 
 Reference anchor: the 4-step loop IMF must match,
 src/smalltts/infer/onnx.py:102-125; the reference never went below 4 steps.
@@ -286,14 +290,28 @@ def test_imf_vs_dmd_quality_on_corpus():
     mel_imf2, sv_imf2 = results["imf_2"]
     mel_imf1, sv_imf1 = results["imf_1"]
     mel_t32, _ = results["teacher_32"]
-
-    # sanity: everything trained (well below random-scale mel ~ anchor x3)
-    assert mel_t32 < 2.0 * floor + 1.0, (mel_t32, floor)
-    # THE GATE: IMF-2 within 25% excess-mel of the DMD-4 serving path and
-    # SV within 0.05 cosine
     excess = lambda m: m - floor  # noqa: E731
-    assert excess(mel_imf2) < 1.25 * max(excess(mel_dmd), 0.05), results
+
+    # Measured on this fixture (2026-08, the run that set the sampler
+    # policy): floor 6.63; excess — teacher_32 0.042, dmd_student_4 0.039
+    # (both AT the codec floor), imf_2 0.336, imf_1 0.546; SV — dmd 0.939,
+    # imf_2 0.968, imf_1 0.968.
+
+    # teacher + DMD-4 serving path reach the codec floor
+    assert excess(mel_t32) < 0.2, results
+    assert excess(mel_dmd) < 0.2, results
+    # IMF trains: far below untrained scale (~1+ excess), 2-step >= 1-step,
+    # speaker similarity at least DMD's
+    assert excess(mel_imf2) < 0.8, results
+    assert excess(mel_imf1) < 1.1, results
+    assert mel_imf2 <= mel_imf1 + 0.1, results
     assert sv_imf2 > sv_dmd - 0.05, results
-    # IMF-1 bounded more loosely (recorded; auto policy uses 2 steps)
-    assert excess(mel_imf1) < 2.0 * max(excess(mel_dmd), 0.05), results
     assert sv_imf1 > sv_dmd - 0.15, results
+
+    # THE POLICY EVIDENCE: IMF few-step does NOT reach DMD-4 mel parity on
+    # this corpus — the basis for sampler="auto" resolving to "dmd"
+    # (infer/pipeline.py). If IMF training improves enough to flip this
+    # assertion, revisit that policy with the new numbers.
+    assert excess(mel_imf2) > 1.5 * excess(mel_dmd), (
+        "IMF-2 now within 1.5x of DMD-4 excess-mel — re-evaluate the "
+        f"auto-sampler demotion: {results}")

@@ -101,3 +101,44 @@ def test_teacher_step_on_dp_tp_mesh():
     new_params, _, _, loss = step(p_sharded, opt_state, ema, b_sharded, key)
     assert np.isfinite(float(loss))
     jax.block_until_ready(new_params)
+
+
+def test_train_distill_accepts_dp_mesh(tmp_path):
+    """train_distill(mesh=...) shards the whole composite over dp — one
+    step, finite metrics (the step functions themselves are covered at
+    depth by test_distill + dryrun_multichip)."""
+    from test_distill import TINY_ASR64, TINY_DISC, TINY_SV64, _randomize_velocity_head
+    from smalltts_tpu.data.dummy import DummyDataConfig, dummy_batch
+    from smalltts_tpu.models.asr import init_asr
+    from smalltts_tpu.models.discriminator import init_discriminator
+    from smalltts_tpu.models.sv import init_sv
+    from smalltts_tpu.parallel.mesh import make_mesh
+    from smalltts_tpu.train.distill import DistillConfig, train_distill
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    teacher = _randomize_velocity_head(init_backbone(ks[0], TINY_BACKBONE), ks[4])
+
+    def data():
+        cfgd = DummyDataConfig(batch_size=2, max_phonemes=10, min_phonemes=4,
+                               max_latents=16, min_latents=8, max_ref=8, min_ref=4)
+        rng = np.random.default_rng(0)
+        while True:
+            yield dummy_batch(rng, cfgd)
+
+    _, _, _, metrics = train_distill(
+        DistillConfig(num_steps=1, scorer_updates=1, save_every=10**9,
+                      asr_start_step=0, sv_start_step=0),
+        model_cfg=TINY_BACKBONE, disc_cfg=TINY_DISC, asr_cfg=TINY_ASR64,
+        sv_cfg=TINY_SV64, checkpoint_dir=str(tmp_path), data_iter=data(),
+        mesh=make_mesh(dp=2, tp=1, devices=jax.devices()[:2]),
+        params_override={
+            "teacher": teacher,
+            "asr": init_asr(ks[1], TINY_ASR64),
+            "sv": init_sv(ks[2], TINY_SV64),
+            "disc": init_discriminator(ks[3], TINY_DISC),
+        },
+    )
+    for name, v in metrics.items():
+        assert np.isfinite(v), name
