@@ -300,7 +300,8 @@ class TTSServer:
         loop = asyncio.get_running_loop()
         if stream:
             return await self._synthesize_stream(headers, samples, text,
-                                                 duration, loop)
+                                                 duration, loop,
+                                                 raw_audio=fields["audio"])
         try:
             token_ids = await loop.run_in_executor(self._pool, self.tokenize, text)
         except Exception as exc:
@@ -354,7 +355,8 @@ class TTSServer:
             wav,
         )
 
-    async def _synthesize_stream(self, headers, samples, text, duration, loop):
+    async def _synthesize_stream(self, headers, samples, text, duration, loop,
+                                 raw_audio: bytes = None):
         """-> (200, headers, async byte generator). Sentence chunks stream
         as they synthesize; facilitator settlement happens BEFORE the body
         starts (a mid-stream 402 is impossible over chunked transfer)."""
@@ -372,8 +374,7 @@ class TTSServer:
         try:
             batcher = await loop.run_in_executor(self._pool, self._ensure_pipeline)
             ref_latents = await loop.run_in_executor(
-                self._pool, self._encode_reference_cached, samples,
-                fields["audio"],
+                self._pool, self._encode_reference_cached, samples, raw_audio,
             )
         except Exception as exc:
             return 500, list(CORS_HEADERS), f"inference failed: {exc}".encode()
