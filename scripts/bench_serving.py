@@ -19,11 +19,14 @@ from __future__ import annotations
 import argparse
 import asyncio
 import json
+import os
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def make_wav(seconds: float, freq: float = 440.0, sr: int = 24_000) -> bytes:
@@ -77,21 +80,38 @@ def main() -> None:
     from smalltts_tpu.serving.x402 import X402Config
 
     tts = SmallTTS(seed=0)
-    t_bucket = pick_bucket(frames_for_duration(args.duration), LATENT_BUCKETS)
-    t0 = time.time()
-    tts.warmup(batch_sizes=(1, args.max_batch), t_buckets=(t_bucket,),
-               r_buckets=(64,), p_buckets=(128,), workers=8)
-    print(f"warmup in {time.time() - t0:.0f}s", file=sys.stderr)
-
-    server = TTSServer(tts=tts, x402_cfg=X402Config(mode="disabled"),
-                       max_batch=args.max_batch)
     text = "the quick brown fox jumps over it"
+    t_buckets = {pick_bucket(frames_for_duration(args.duration), LATENT_BUCKETS)}
     if args.stream:
         # sentences long enough that long_form won't merge them (~330 chars)
         text = " ".join(
             (f"sentence number {i} " * 12).strip() + "."
             for i in range(args.sentences)
         )
+        # warm exactly the buckets the per-sentence durations will hit —
+        # one cold bucket = a minutes-long request-path compile that lands
+        # IN the TTFB percentile (measured: p95 29 s before this)
+        from smalltts_tpu.data.bucketing import SERVING_PHONEME_BUCKETS
+        from smalltts_tpu.infer.long_form import split_sentences
+        from smalltts_tpu.infer.pipeline import estimate_duration
+        from smalltts_tpu.text import get_token_ids
+
+        p_buckets = {128}
+        for s in split_sentences(text):
+            if s.strip():
+                t_buckets.add(pick_bucket(
+                    frames_for_duration(estimate_duration(s)), LATENT_BUCKETS))
+                p_buckets.add(pick_bucket(
+                    max(len(get_token_ids(s)), 1), SERVING_PHONEME_BUCKETS))
+    else:
+        p_buckets = {128}
+    t0 = time.time()
+    tts.warmup(batch_sizes=(1, args.max_batch), t_buckets=sorted(t_buckets),
+               r_buckets=(64,), p_buckets=sorted(p_buckets), workers=8)
+    print(f"warmup in {time.time() - t0:.0f}s", file=sys.stderr)
+
+    server = TTSServer(tts=tts, x402_cfg=X402Config(mode="disabled"),
+                       max_batch=args.max_batch)
     bodies = [
         multipart(make_wav(0.6, 440.0 + 20 * v), text)
         for v in range(max(1, args.distinct_voices))
@@ -129,6 +149,7 @@ def main() -> None:
                     t_first = time.perf_counter()
                     data = head + first + r.read()
                     assert data[:4] == b"RIFF" and len(data) > 46, len(data)
+                    conn.close()  # server closes chunked conns; free ours too
                     with lock:
                         ttfb.append(t_first - t0)
                         lat.append(time.perf_counter() - t0)

@@ -122,9 +122,16 @@ def stream_synthesize_long(tts, ref_latents: np.ndarray, text: str,
 
 def crossfade_stream_step(pending, cur, fade: int):
     """One boundary of incremental crossfading: -> (emit|None, new_pending).
-    Concatenating all emits (+ final pending) equals crossfade_concat."""
+    Concatenating all emits (+ final pending) equals crossfade_concat.
+
+    The first chunk emits everything except its fade tail IMMEDIATELY —
+    holding the whole first sentence until the second arrived doubled
+    streaming time-to-first-audio for zero benefit (only the tail takes
+    part in the crossfade)."""
     if pending is None:
-        return None, cur
+        if len(cur) <= fade:
+            return None, cur
+        return cur[:-fade], cur[-fade:]
     n = min(fade, len(pending), len(cur))
     if n <= 0:
         return pending, cur

@@ -49,8 +49,14 @@ def initialize_from_env() -> dict:
             "num_processes": 1,
             "note": "SMALLTTS_COORDINATOR unset: single-process",
         }
-    num = int(os.environ["SMALLTTS_NUM_PROCESSES"])
-    pid = int(os.environ["SMALLTTS_PROCESS_ID"])
+    try:
+        num = int(os.environ["SMALLTTS_NUM_PROCESSES"])
+        pid = int(os.environ["SMALLTTS_PROCESS_ID"])
+    except KeyError as exc:
+        raise RuntimeError(
+            "SMALLTTS_COORDINATOR is set but SMALLTTS_NUM_PROCESSES / "
+            "SMALLTTS_PROCESS_ID are not — all three are required to join "
+            "a distributed job (see parallel/multihost.py)") from exc
     # local_device_ids: optional comma list (e.g. when several processes
     # share one host and must split its devices)
     local_ids = os.environ.get("SMALLTTS_LOCAL_DEVICE_IDS")
