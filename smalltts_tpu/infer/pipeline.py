@@ -99,6 +99,7 @@ class SmallTTS:
         codec="auto",
         sampler: str = "auto",
         w8_modulation: bool = False,
+        fused_projections: bool = True,
     ) -> None:
         """`sampler` selects the few-step recurrence:
         - "dmd": the reference-parity 4-step fresh-noise loop;
@@ -165,6 +166,16 @@ class SmallTTS:
                 )(jax.random.PRNGKey(seed + 1))
 
         backbone_host = ckpt.cast_floating(backbone_params, dtype)
+        if fused_projections:
+            # Lossless serving layout, ON by default: [qkv|gate] and
+            # [w1|w3] become single weight streams per block
+            # (models/dit.fuse_serving_projections). Measured at full size,
+            # 5 s/batch 8, interleaved A/B on v5e-1: 19.4 -> 16.1 and
+            # 18.6 -> 15.0 ms/call (~18%) — fewer, wider HBM streams in the
+            # weight-bandwidth-bound denoise loop.
+            from smalltts_tpu.models.dit import fuse_serving_projections
+
+            backbone_host = fuse_serving_projections(backbone_host)
         if w8_modulation:
             # int8 adaLN modulation weights + Pallas per-tile dequant: the
             # one w8 shape that wins (M=batch pure weight streaming, PERF.md

@@ -231,22 +231,32 @@ def _project_cross(p_attn, cfg: DiTConfig, seq, which: str):
     return k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
 
 
-def _self_qkv(p_attn, cfg: DiTConfig, x, rope_freqs):
+def _self_qkv_gate(p_attn, cfg: DiTConfig, x, rope_freqs):
+    """q/k_self/v_self (+ the attention output gate) from the same input.
+
+    With fused serving weights (fuse_serving_projections) the gate folds
+    into the SAME matmul as qkv — one (H, 4H) weight stream per block
+    instead of (H, 3H) + (H, H)."""
     b, t, _ = x.shape
     h, d = cfg.heads, cfg.head_dim
-    qkv = nn.linear(p_attn["qkv_self"], x)
+    inner = h * d
+    if "qkvg" in p_attn:
+        qkvg = nn.linear(p_attn["qkvg"], x)
+        qkv, gate = qkvg[..., : 3 * inner], qkvg[..., 3 * inner:]
+    else:
+        qkv = nn.linear(p_attn["qkv_self"], x)
+        gate = nn.linear(p_attn["gate"], x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = nn.rmsnorm(p_attn["q_norm"], q.reshape(b, t, h, d), 1e-6)
     k = nn.rmsnorm(p_attn["k_norm"], k.reshape(b, t, h, d), 1e-6)
     v = v.reshape(b, t, h, d).transpose(0, 2, 1, 3)
     q = apply_rope_interleaved(q.transpose(0, 2, 1, 3), rope_freqs)
     k = apply_rope_interleaved(k.transpose(0, 2, 1, 3), rope_freqs)
-    return q, k, v
+    return q, k, v, gate
 
 
-def _attend(p_attn, x_norm, q, k, v, mask, joint_key_mask):
+def _attend(p_attn, gate, q, k, v, mask, joint_key_mask):
     """One fused SDPA over [self | ref | text] keys + sigmoid gate (dit.py:110-119)."""
-    gate = nn.linear(p_attn["gate"], x_norm)
     out = nn.sdpa(q, k, v, key_mask=joint_key_mask)
     b, h, t, d = out.shape
     out = out.transpose(0, 2, 1, 3).reshape(b, t, h * d)
@@ -256,17 +266,53 @@ def _attend(p_attn, x_norm, q, k, v, mask, joint_key_mask):
 
 
 def _ff(p, x):
+    if "w13" in p:  # fused serving weights: one (H, 2F) stream
+        ab = nn.linear(p["w13"], x)
+        a, b = jnp.split(ab, 2, axis=-1)
+        return nn.linear(p["w2"], jax.nn.silu(a) * b)
     return nn.linear(p["w2"], jax.nn.silu(nn.linear(p["w1"], x)) * nn.linear(p["w3"], x))
+
+
+def fuse_serving_projections(params):
+    """Backbone params -> same math, fewer weight streams per block:
+    [qkv_self | gate] -> one (H, 4H) matmul, [ff.w1 | ff.w3] -> one
+    (H, 2F) matmul. Output columns are computed identically (concatenation
+    along the output axis does not change any dot product's reduction
+    order), so this is a serving-time layout transform, not an
+    approximation. Checkpoints stay in the standard split layout; apply at
+    load (SmallTTS(fused_projections=True))."""
+    params = jax.tree.map(lambda x: x, params)
+    dit = params["dit"] if "dit" in params else params
+    blocks = dict(dit["blocks"])
+    attn = dict(blocks["attn"])
+    if "qkvg" not in attn:
+        qkv, gate = attn.pop("qkv_self"), attn.pop("gate")
+        zeros_g = jnp.zeros(gate["w"].shape[:1] + gate["w"].shape[2:],
+                            qkv["b"].dtype)
+        attn["qkvg"] = {
+            "w": jnp.concatenate([qkv["w"], gate["w"]], axis=-1),
+            "b": jnp.concatenate([qkv["b"], zeros_g], axis=-1),
+        }
+    ff = dict(blocks["ff"])
+    if "w13" not in ff:
+        w1, w3 = ff.pop("w1"), ff.pop("w3")
+        ff["w13"] = {
+            "w": jnp.concatenate([w1["w"], w3["w"]], axis=-1),
+            "b": jnp.concatenate([w1["b"], w3["b"]], axis=-1),
+        }
+    blocks["attn"], blocks["ff"] = attn, ff
+    dit["blocks"] = blocks
+    return params
 
 
 def _block_core(blk, cfg: DiTConfig, x, mod, mask, joint_key_mask, rope_freqs, kv: Tuple):
     """Shared block body; `mod` is this block's precomputed adaLN modulation;
     `kv` is (k_ref, v_ref, k_text, v_text) already projected."""
     norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = _apply_adaln_zero(mod, x)
-    q, k_self, v_self = _self_qkv(blk["attn"], cfg, norm, rope_freqs)
+    q, k_self, v_self, gate = _self_qkv_gate(blk["attn"], cfg, norm, rope_freqs)
     k = jnp.concatenate([k_self, kv[0], kv[2]], axis=2)
     v = jnp.concatenate([v_self, kv[1], kv[3]], axis=2)
-    attn_out = _attend(blk["attn"], norm, q, k, v, mask, joint_key_mask)
+    attn_out = _attend(blk["attn"], gate, q, k, v, mask, joint_key_mask)
     x = x + jnp.tanh(gate_msa)[:, None] * attn_out
     norm2 = nn.layernorm_noaffine(x) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
     x = x + jnp.tanh(gate_mlp)[:, None] * _ff(blk["ff"], norm2)

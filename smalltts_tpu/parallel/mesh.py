@@ -55,6 +55,8 @@ _TP_RULES = [
     ("mlp/w2/w", "in"),
     ("ff/w2/w", "in"),
     ("attn/qkv_self", "out"),
+    ("attn/qkvg", "out"),
+    ("ff/w13", "out"),
     ("attn/kv_ref", "out"),
     ("attn/kv_text", "out"),
     ("attn/gate", "out"),

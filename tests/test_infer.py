@@ -158,3 +158,38 @@ def test_forward_transcription_prepend_one_fused_dispatch(tts, monkeypatch):
                       max_batch=4)
     assert len(out) == 9
     assert [c[2] for c in calls] == [4, 4, 1]
+
+
+def test_fused_projections_parity_and_layout():
+    """SmallTTS(fused_projections=True) is a lossless serving layout
+    transform: [qkv|gate] and [w1|w3] fold into single weight streams with
+    identical per-column math. Outputs must match the split layout and the
+    split leaves must be GONE (no doubled weight memory)."""
+    from smalltts_tpu.infer.pipeline import SmallTTS
+    from smalltts_tpu.models.backbone import init_backbone
+    from smalltts_tpu.models.codec import init_codec
+    from tiny import TINY_BACKBONE, TINY_CODEC
+
+    params = init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE)
+    # make gates + head load-bearing (zero-init would hide the attn path)
+    lin = params["dit"]["blocks"]["attn_norm"]["linear"]
+    lin["w"] = 0.3 * jax.random.normal(jax.random.PRNGKey(1), lin["w"].shape)
+    vel = params["velocity"]
+    vel["w"] = 0.05 * jax.random.normal(jax.random.PRNGKey(2), vel["w"].shape)
+    codec_params = init_codec(jax.random.PRNGKey(3), TINY_CODEC)
+
+    mk = lambda fused: SmallTTS(  # noqa: E731
+        params, codec_params, cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
+        fused_projections=fused)
+    t_split, t_fused = mk(False), mk(True)
+
+    blk = t_fused.params["dit"]["blocks"]
+    assert "qkvg" in blk["attn"] and "qkv_self" not in blk["attn"]
+    assert "gate" not in blk["attn"]
+    assert "w13" in blk["ff"] and "w1" not in blk["ff"] and "w3" not in blk["ff"]
+
+    ref = np.random.RandomState(4).randn(8, 64).astype(np.float32)
+    key = jax.random.PRNGKey(9)
+    a = t_split.synthesize(ref, [1, 2, 3, 4], 2.0, key=key)
+    b = t_fused.synthesize(ref, [1, 2, 3, 4], 2.0, key=key)
+    np.testing.assert_allclose(a, b, atol=3e-6, rtol=1e-5)
