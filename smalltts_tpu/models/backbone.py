@@ -156,13 +156,16 @@ def denoise_step(
     t: jax.Array,
     cond: Conditions,
     t_emb: jax.Array | None = None,
+    step_mods=None,
 ) -> jax.Array:
     """One denoiser evaluation reusing cached conditions (reference: model.py:97-100).
     `t_emb` lets the sampler hoist the time-embedding MLP out of its step loop
-    (the 4 step times are known up front)."""
+    (the 4 step times are known up front); `step_mods` likewise hoists the
+    adaLN modulation weight pass (dit.precompute_step_modulations)."""
     if t_emb is None:
         t_emb = time_embedding(p["time_embedding"], t, cfg.time_embed_dim)
     decoded = dit_forward_cached(
-        p["dit"], cfg.dit, noised, t_emb, mask, cond.cross_kv, cond.ref_mask, cond.phonemes_mask
+        p["dit"], cfg.dit, noised, t_emb, mask, cond.cross_kv, cond.ref_mask,
+        cond.phonemes_mask, step_mods=step_mods,
     )
     return nn.linear(p["velocity"], decoded)

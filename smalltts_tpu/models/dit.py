@@ -214,9 +214,28 @@ def _apply_adaln_zero(mod, x, eps=1e-6):
 
 
 def _adaln_final(p, x, emb, eps=1e-6):
-    mod = nn.linear(p["linear"], jax.nn.silu(emb))
+    return _adaln_final_from_mod(nn.linear(p["linear"], jax.nn.silu(emb)), x, eps)
+
+
+def _adaln_final_from_mod(mod, x, eps=1e-6):
     scale, shift = jnp.split(mod, 2, axis=-1)
     return nn.layernorm_noaffine(x, eps) * (1 + scale[:, None]) + shift[:, None]
+
+
+def precompute_step_modulations(p_dit, t_embs):
+    """ALL sampling steps' adaLN modulations in ONE weight pass.
+
+    The (L, H, 6H) modulation stack is ~132 MB bf16 at full size — 26% of
+    the bytes the denoise loop streams PER STEP — yet its input is only the
+    step's time embedding, and every step time is known before the loop
+    (sampler.py already hoists the time-embedding MLP the same way).
+    `t_embs` (S, H) -> (mods (L, S, 6H), final (S, 2H)); the loop indexes
+    its step and broadcasts over batch. Works for both fp and w8-quantized
+    modulation weights (_all_block_modulations dispatches on the leaf)."""
+    emb = _emb_proj(p_dit["emb_proj"], t_embs)
+    mods = _all_block_modulations(p_dit["blocks"], emb)
+    final = nn.linear(p_dit["norm_out"]["linear"], jax.nn.silu(emb))
+    return mods, final
 
 
 def _project_cross(p_attn, cfg: DiTConfig, seq, which: str):
@@ -396,13 +415,26 @@ def dit_forward_cached(
     cached: CrossKV,
     ref_mask: jax.Array,
     phonemes_mask: jax.Array,
+    step_mods=None,
 ) -> jax.Array:
-    """Denoise-step forward reusing the cross-KV cache (dit.py:316-327)."""
+    """Denoise-step forward reusing the cross-KV cache (dit.py:316-327).
+
+    `step_mods` = (mods (L, 6H), final (2H)) precomputed by
+    precompute_step_modulations lets the sampler stream the adaLN
+    modulation weights ONCE for all steps instead of once per step."""
+    b = x.shape[0]
     x = _input_embed(p["input_embed"], cfg, x, mask)
     rope = _rope_slice(cfg, x.shape[1])
-    emb = _emb_proj(p["emb_proj"], time_embedding)
     joint_key_mask = jnp.concatenate([mask, ref_mask, phonemes_mask], axis=1)
-    mods = _all_block_modulations(p["blocks"], emb)
+    if step_mods is None:
+        emb = _emb_proj(p["emb_proj"], time_embedding)
+        mods = _all_block_modulations(p["blocks"], emb)
+        final_mod = None
+    else:
+        mods_i, final_i = step_mods
+        mods = jnp.broadcast_to(mods_i[:, None, :],
+                                (mods_i.shape[0], b, mods_i.shape[-1]))
+        final_mod = jnp.broadcast_to(final_i[None, :], (b, final_i.shape[-1]))
 
     def body(carry, scanned):
         blk, mod, kv = scanned
@@ -411,4 +443,6 @@ def dit_forward_cached(
 
     x, _ = lax.scan(body, x, (p["blocks"], mods, tuple(cached)),
                     unroll=cfg.scan_unroll)
+    if final_mod is not None:
+        return _adaln_final_from_mod(final_mod, x)
     return _adaln_final(p["norm_out"], x, emb)
