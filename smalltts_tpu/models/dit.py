@@ -436,12 +436,23 @@ def dit_forward_cached(
                                 (mods_i.shape[0], b, mods_i.shape[-1]))
         final_mod = jnp.broadcast_to(final_i[None, :], (b, final_i.shape[-1]))
 
+    # scan xs slices EVERY leaf per iteration — thread ONLY what the cached
+    # body touches. The cross-KV projection weights (~88 MB, used only at
+    # cond-encode time) and the modulation stack (~132 MB, already applied
+    # via `mods`) would otherwise ride along every step.
+    used_attn = {"qkvg", "qkv_self", "gate", "to_out", "q_norm", "k_norm"}
+    blocks_scan = {
+        "attn": {k: v for k, v in p["blocks"]["attn"].items()
+                 if k in used_attn},
+        "ff": p["blocks"]["ff"],
+    }
+
     def body(carry, scanned):
         blk, mod, kv = scanned
         out = _block_core(blk, cfg, carry, mod, mask, joint_key_mask, rope, kv)
         return out, None
 
-    x, _ = lax.scan(body, x, (p["blocks"], mods, tuple(cached)),
+    x, _ = lax.scan(body, x, (blocks_scan, mods, tuple(cached)),
                     unroll=cfg.scan_unroll)
     if final_mod is not None:
         return _adaln_final_from_mod(final_mod, x)
