@@ -402,7 +402,11 @@ def dit_encode_cross_kv(
         k_text, v_text = _project_cross(blk["attn"], cfg, phoneme_mem, "text")
         return None, (k_ref, v_ref, k_text, v_text)
 
-    _, (k_ref, v_ref, k_text, v_text) = lax.scan(body, None, p["blocks"])
+    # thread only the cross-projection leaves (the qkv/ff stacks are the
+    # bulk of the block pytree and are denoise-path-only)
+    cross = {"attn": {k: v for k, v in p["blocks"]["attn"].items()
+                      if k in ("kv_ref", "kv_text", "k_norm_cross")}}
+    _, (k_ref, v_ref, k_text, v_text) = lax.scan(body, None, cross)
     return CrossKV(k_ref, v_ref, k_text, v_text)
 
 
