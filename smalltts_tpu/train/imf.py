@@ -151,17 +151,35 @@ def make_imf_step(cfg: BackboneConfig, tx, train_cfg: ImfConfig = ImfConfig()):
 
 def imf_sample(student, cfg: BackboneConfig, cond, seq_lengths, t_bucket: int,
                key, num_steps: int = 1) -> jax.Array:
-    """Few-step sampling with the integral-velocity student -> latents."""
+    """Few-step sampling with the integral-velocity student -> latents.
+
+    Every (t, r) interval is known up front, so the mixed time embeddings
+    AND the adaLN modulation weight pass are hoisted out of the loop (same
+    optimization as the DMD sampler — see infer/sampler.py and
+    dit.precompute_step_modulations)."""
+    from smalltts_tpu.models.dit import precompute_step_modulations
+
     b = seq_lengths.shape[0]
     mask = length_mask(seq_lengths, t_bucket)
     dtype = student["velocity"]["w"].dtype
     x = jax.random.normal(key, (b, t_bucket, cfg.latent_dim), dtype)
     ts = jnp.linspace(1.0, 0.0, num_steps + 1, dtype=jnp.float32)
+    t_embs = imf_time_emb(student, cfg, ts[:-1], ts[1:])  # (S, H)
+    mods, finals = precompute_step_modulations(student["dit"], t_embs)
 
     def body(i, x):
         t0 = jnp.full((b,), ts[i], jnp.float32)
         t1 = jnp.full((b,), ts[i + 1], jnp.float32)
-        u = imf_velocity(student, cfg, x, mask, t0, t1, cond)
+        t_emb = jnp.broadcast_to(
+            jax.lax.dynamic_index_in_dim(t_embs, i, keepdims=False)[None, :],
+            (b, t_embs.shape[-1]))
+        u = denoise_step(
+            student, cfg, x, mask, t0, cond, t_emb=t_emb,
+            step_mods=(
+                jax.lax.dynamic_index_in_dim(mods, i, axis=1, keepdims=False),
+                jax.lax.dynamic_index_in_dim(finals, i, keepdims=False),
+            ),
+        )
         return x - (t0 - t1)[:, None, None].astype(dtype) * u
 
     x = jax.lax.fori_loop(0, num_steps, body, x)
