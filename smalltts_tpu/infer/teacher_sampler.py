@@ -53,6 +53,32 @@ def cfg_velocity(
     )
 
 
+def _cfg_conditions(params, cfg: BackboneConfig, ref, ref_len, ph, ph_mask):
+    """The three CFG condition sets — (cond, no-text, no-speaker) — encoded
+    ONCE and concatenated along batch, for the cached denoise path.
+
+    backbone_forward-based CFG (cfg_velocity) re-runs the style/text
+    encoders and every cross-KV projection on EVERY step; conditions don't
+    depend on the step, so a 32-step sample re-did that work 32x."""
+    from smalltts_tpu.models.backbone import Conditions, encode_conditions
+    from smalltts_tpu.models.dit import CrossKV
+
+    cond_c = encode_conditions(params, cfg, ref, ref_len, ph, ph_mask)
+    cond_nt = encode_conditions(params, cfg, ref, ref_len,
+                                jnp.zeros_like(ph), jnp.zeros_like(ph_mask))
+    cond_ns = encode_conditions(params, cfg, jnp.zeros_like(ref),
+                                jnp.zeros_like(ref_len), ph, ph_mask)
+    cross3 = CrossKV(*[
+        jnp.concatenate(leaves, axis=1)  # (L, B, H, T, D): batch axis 1
+        for leaves in zip(cond_c.cross_kv, cond_nt.cross_kv, cond_ns.cross_kv)
+    ])
+    cat0 = lambda f: jnp.concatenate(  # noqa: E731
+        [f(cond_c), f(cond_nt), f(cond_ns)], axis=0)
+    return Conditions(cross3, cat0(lambda c: c.ref_mask),
+                      cat0(lambda c: c.phonemes_mask),
+                      cat0(lambda c: c.ref_seq))
+
+
 def make_teacher_sampler(
     cfg: BackboneConfig,
     num_steps: int = 128,
@@ -60,7 +86,14 @@ def make_teacher_sampler(
     cfg_scale_speaker: float = 1.5,
 ):
     """Jitted many-step sampler: (params, ref, ref_len, ph, ph_len, seq_len,
-    key, t_bucket) -> latents (B, T, D)."""
+    key, t_bucket) -> latents (B, T, D).
+
+    Conditions encode once (not per step, unlike the reference's CFG inside
+    distillation, distill.py:75-105), and the time-embedding +
+    adaLN-modulation weight passes hoist across all steps like the serving
+    samplers."""
+    from smalltts_tpu.models.backbone import denoise_step, time_embedding
+    from smalltts_tpu.models.dit import precompute_step_modulations
 
     @partial(jax.jit, static_argnames=("t_bucket",))
     def sample(params, ref, ref_len, ph, ph_len, seq_lens, key, t_bucket: int):
@@ -69,6 +102,10 @@ def make_teacher_sampler(
         mask = length_mask(seq_lens, t_bucket)
         ts = jnp.linspace(1.0, 0.0, num_steps, dtype=jnp.float32)
         x0 = jnp.zeros((b, t_bucket, cfg.latent_dim), jnp.float32)
+        cond3 = _cfg_conditions(params, cfg, ref, ref_len, ph, ph_mask)
+        mask3 = jnp.concatenate([mask] * 3, axis=0)
+        t_embs = time_embedding(params["time_embedding"], ts, cfg.time_embed_dim)
+        mods, finals = precompute_step_modulations(params["dit"], t_embs)
 
         def body(i, carry):
             x_pred, k = carry
@@ -76,11 +113,21 @@ def make_teacher_sampler(
             k, sub = jax.random.split(k)
             noise = jax.random.normal(sub, x_pred.shape, x_pred.dtype)
             x_t = alpha * x_pred + sigma * noise
-            t_vec = jnp.full((b,), ts[i], jnp.float32)
-            v = cfg_velocity(
-                params, cfg, x_t, ref, ref_len, mask, ph, ph_mask, t_vec,
-                cfg_scale_text, cfg_scale_speaker,
+            t_vec = jnp.full((3 * b,), ts[i], jnp.float32)
+            t_emb = jnp.broadcast_to(
+                lax.dynamic_index_in_dim(t_embs, i, keepdims=False)[None, :],
+                (3 * b, t_embs.shape[-1]))
+            v3 = denoise_step(
+                params, cfg, jnp.concatenate([x_t] * 3, axis=0), mask3,
+                t_vec, cond3, t_emb=t_emb,
+                step_mods=(
+                    lax.dynamic_index_in_dim(mods, i, axis=1, keepdims=False),
+                    lax.dynamic_index_in_dim(finals, i, keepdims=False),
+                ),
             )
+            v_c, v_no_text, v_no_spk = jnp.split(v3, 3, axis=0)
+            v = (v_c + cfg_scale_text * (v_c - v_no_text)
+                 + cfg_scale_speaker * (v_c - v_no_spk))
             return (alpha * x_t - sigma * v, k)
 
         x_pred, _ = lax.fori_loop(0, num_steps, body, (x0, key))
