@@ -91,8 +91,9 @@ def stream_synthesize_long(tts, ref_latents: np.ndarray, text: str,
                            max_chars: int = 330):
     """Generator of (samples,) float32 pieces whose concatenation equals
     synthesize_long's output (crossfades applied at chunk boundaries; each
-    piece is emitted as soon as the NEXT chunk is synthesized, so playback
-    can start after the first sentence instead of after the whole text).
+    chunk emits as soon as ITS synthesis completes — everything except the
+    fade tail, which waits to blend with the next chunk — so playback
+    starts after the first sentence instead of after the whole text).
 
     `synth(chunk_text) -> (1, T)` overrides the per-chunk synthesis call
     (the server routes chunks through its batcher)."""

@@ -508,40 +508,41 @@ class SmallTTS:
         def tok(x):
             return get_token_ids(x) if isinstance(x, str) else list(map(int, x))
 
-        items = [
-            (np.asarray(cond, np.float32), tok(trans) + tok(text))
+        # exactly the serving batcher's grouping/padding (one source of
+        # truth for the shape contract: batch lands on the 1/max_batch
+        # classes warmup compiles — an exact-size tail batch would trigger
+        # a minutes-long request-path compile on TPU)
+        from smalltts_tpu.serving.batcher import (
+            Request,
+            group_requests,
+            pad_group,
+        )
+
+        requests = [
+            Request(np.asarray(cond, np.float32), tok(trans) + tok(text),
+                    duration_sec)
             for cond, trans, text in zip(conditionings, transcriptions, texts)
         ]
-        if not items:
-            return []
-        seq_len = frames_for_duration(duration_sec)
-        t_bucket = pick_bucket(seq_len, LATENT_BUCKETS)
-        seq_len = min(seq_len, t_bucket)
+        for r in requests:
+            if len(r.ref_latents) > SERVING_REF_BUCKETS[-1]:
+                import warnings
 
-        results: List[np.ndarray] = []
-        for start in range(0, len(items), max_batch):
-            chunk = items[start : start + max_batch]
-            b = len(chunk)
-            r_bucket = pick_bucket(
-                max(len(c) for c, _ in chunk), SERVING_REF_BUCKETS)
-            p_bucket = pick_bucket(
-                max(max(len(t), 1) for _, t in chunk), SERVING_PHONEME_BUCKETS)
-            ref = np.zeros((b, r_bucket, chunk[0][0].shape[-1]), np.float32)
-            ref_lens = np.zeros((b,), np.int32)
-            ph = np.zeros((b, p_bucket), np.int32)
-            ph_lens = np.zeros((b,), np.int32)
-            for i, (cond, tokens) in enumerate(chunk):
-                rl = min(len(cond), r_bucket)
-                ref[i, :rl] = cond[:rl]
-                ref_lens[i] = rl
-                pl = min(len(tokens), p_bucket)
-                ph[i, :pl] = np.asarray(tokens[:pl], np.int32)
-                ph_lens[i] = pl
+                warnings.warn(
+                    f"reference audio is {len(r.ref_latents)} latent frames; "
+                    f"truncating to the largest serving bucket "
+                    f"{SERVING_REF_BUCKETS[-1]} — pass a shorter clip",
+                    stacklevel=2,
+                )
+        index = {id(r): i for i, r in enumerate(requests)}
+        results: List[np.ndarray] = [None] * len(requests)
+        for group in group_requests(requests, max_batch):
+            ref, ref_lens, ph, ph_lens, seq_lens, t_bucket, _ = pad_group(
+                group, max_batch)
             audio = self.synthesize_padded(
-                ref, ref_lens, ph, ph_lens,
-                np.full((b,), seq_len, np.int32), t_bucket,
-            )
-            results.extend(audio[i, :, : seq_len * HOP_SIZE] for i in range(b))
+                ref, ref_lens, ph, ph_lens, seq_lens, t_bucket)
+            for i, r in enumerate(group):
+                results[index[id(r)]] = audio[
+                    i, :, : int(seq_lens[i]) * HOP_SIZE]
         return results
 
     __call__ = forward

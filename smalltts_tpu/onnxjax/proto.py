@@ -484,7 +484,7 @@ def numpy_to_tensor(name: str, arr: np.ndarray) -> Tensor:
     )
 
 
-def serialize_attribute(a: Attribute) -> bytes:
+def serialize_attribute(a: Attribute, base_dir: str = None) -> bytes:
     out = bytearray()
     _w_str(out, 1, a.name)
     if a.type == 1:
@@ -494,7 +494,7 @@ def serialize_attribute(a: Attribute) -> bytes:
     elif a.type == 3:
         _w_bytes(out, 4, a.s)
     elif a.type == 4:
-        _w_bytes(out, 5, serialize_tensor(a.t))
+        _w_bytes(out, 5, serialize_tensor(a.t, base_dir))
     elif a.type == 6:
         for v in a.floats:
             _w_f32(out, 7, v)
@@ -534,7 +534,7 @@ def attr_t(name: str, arr: np.ndarray) -> Attribute:
     return Attribute(name=name, type=4, t=numpy_to_tensor(name, arr))
 
 
-def serialize_node(n: Node) -> bytes:
+def serialize_node(n: Node, base_dir: str = None) -> bytes:
     out = bytearray()
     for i in n.inputs:
         _w_str(out, 1, i)
@@ -544,7 +544,7 @@ def serialize_node(n: Node) -> bytes:
         _w_str(out, 3, n.name)
     _w_str(out, 4, n.op_type)
     for a in n.attributes.values():
-        _w_bytes(out, 5, serialize_attribute(a))
+        _w_bytes(out, 5, serialize_attribute(a, base_dir))
     return bytes(out)
 
 
@@ -575,7 +575,7 @@ def serialize_value_info(vi: ValueInfo) -> bytes:
 def serialize_graph(g: Graph, base_dir: str = None) -> bytes:
     out = bytearray()
     for n in g.nodes:
-        _w_bytes(out, 1, serialize_node(n))
+        _w_bytes(out, 1, serialize_node(n, base_dir))
     _w_str(out, 2, g.name or "graph")
     for t in g.initializers:
         _w_bytes(out, 5, serialize_tensor(t, base_dir))

@@ -144,7 +144,10 @@ def auto_mesh(dp: int = 0, tp: int = 1):
     """
     info = initialize_from_env()
     if info["distributed"]:
-        mesh = global_mesh(tp=tp)
+        # an explicit --dp is honored as the GLOBAL dp ways; a value that
+        # doesn't cover the device grid fails loudly in make_mesh rather
+        # than being silently replaced
+        mesh = global_mesh(dp=dp if dp and dp > 1 else None, tp=tp)
         if is_coordinator():
             print(f"distributed: {info['num_processes']} processes, "
                   f"{info['global_devices']} global devices, mesh "

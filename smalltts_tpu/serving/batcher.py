@@ -178,6 +178,8 @@ class Batcher:
                     item = self._inflight.get_nowait()
                     if item is not None:
                         leftovers.extend(item[0])
+                        with self._lock:
+                            self._inflight_requests -= len(item[0])
                 except queue.Empty:
                     continue  # raced the fetcher; retry the put
         self._fetcher.join(timeout=60)
@@ -185,26 +187,29 @@ class Batcher:
         with self._lock:
             leftovers += self._queue
             self._queue = []
-        try:
-            while True:
-                item = self._inflight.get_nowait()
-                if item is not None:
-                    leftovers.extend(item[0])
-        except queue.Empty:
-            pass
-        # if the dispatch thread outlived the 60 s join (blocked in the timed
-        # put), its group can still land AFTER the drain above — join once
-        # more and re-drain so those futures never dangle (the timed put in
-        # _execute re-checks _sealed, so the thread exits promptly now)
-        if self._thread.is_alive():
-            self._thread.join(timeout=10)
+
+        def drain():
             try:
                 while True:
                     item = self._inflight.get_nowait()
                     if item is not None:
                         leftovers.extend(item[0])
+                        with self._lock:
+                            # the fetch loop's finally never ran for these:
+                            # keep the pending() gauge honest post-close
+                            self._inflight_requests -= len(item[0])
             except queue.Empty:
                 pass
+
+        drain()
+        # A dispatch thread that outlived the 60 s join (blocked in its
+        # timed put) can land a group at ANY point around the drain above —
+        # including the race window between that drain and a liveness
+        # check — so join + re-drain UNCONDITIONALLY (the timed put in
+        # _execute re-checks _sealed, so the thread exits promptly now; a
+        # dead thread makes these no-ops).
+        self._thread.join(timeout=10)
+        drain()
         for r in leftovers:
             if not r.future.done():
                 r.future.set_exception(RuntimeError("batcher closed"))

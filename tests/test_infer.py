@@ -144,15 +144,17 @@ def test_forward_transcription_prepend_one_fused_dispatch(tts, monkeypatch):
     monkeypatch.setattr(tts, "synthesize_padded", spy)
     ref = np.random.RandomState(4).randn(8, 64).astype(np.float32)
     out = tts.forward([ref, ref, ref], [[1, 2]] * 3, [[3, 4], [5], [6, 7]],
-                      duration_sec=1.0)
+                      duration_sec=1.0, max_batch=4)
     assert len(out) == 3
     assert len(calls) == 1, f"{len(calls)} dispatches for one bucket group"
     ph, ph_lens, b = calls[0]
-    assert b == 3
+    # batch pads to the serving contract's batch class (1 or max_batch) so
+    # no out-of-warmup shape ever compiles in the request path
+    assert b == 4
     assert list(ph[0][:4]) == [1, 2, 3, 4]  # transcription prepended
     assert list(ph[1][:3]) == [1, 2, 5]
-    assert list(ph_lens) == [4, 3, 4]
-    # chunking: 9 items at max_batch=4 -> 3 dispatches
+    assert list(ph_lens[:3]) == [4, 3, 4]
+    # chunking: 9 items at max_batch=4 -> 3 dispatches, batch classes 4/4/1
     calls.clear()
     out = tts.forward([ref] * 9, [[1]] * 9, [[2]] * 9, duration_sec=1.0,
                       max_batch=4)
