@@ -414,3 +414,74 @@ def test_full_size_architecture_round_trip(tmp_path):
         ph_mask, seq_len, noises)
     # 12 blocks x 960 dims compound more fp32 reassociation error
     np.testing.assert_allclose(audio, want, atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.parametrize("opset", [14, 15])
+def test_real_architecture_round_trip_other_opsets(tmp_path, opset):
+    """The published assets' export opset is unknown; the same reduced real
+    architecture must round-trip at older opsets too (different decomposition
+    patterns: e.g. SDPA lowers differently pre-17)."""
+    import copy as _copy
+
+    model, mods = build_reduced_oracle(hidden=576, n_blocks=2, seed=31)
+    seq_len, ref_t, ph_p = 8, 7, 5
+    model_mod, dit_mod, ph_mod, style_mod = mods
+    exp = _copy.deepcopy(model)
+
+    def to_real(fc):
+        return torch.stack([fc.real, fc.imag], -1).float()
+
+    exp.phoneme_embedding.freqs_cis = to_real(exp.phoneme_embedding.freqs_cis)
+    exp.style_encoder.freqs_cis = to_real(exp.style_encoder.freqs_cis)
+    ref = torch.randn(1, ref_t, LAT)
+    ref_len = torch.tensor([ref_t], dtype=torch.int64)
+    ph = torch.randint(1, 190, (1, ph_p))
+    ph_mask = torch.ones(1, ph_p, dtype=torch.bool)
+
+    def _rms_primitive(self, x):
+        xf = x.float()
+        y = xf * torch.rsqrt(xf.pow(2).mean(-1, keepdim=True) + self.eps)
+        return (y * self.weight.float()).type_as(x)
+
+    saved = (ph_mod.apply_rotary_emb, style_mod.apply_rotary_emb,
+             dit_mod.RMSNorm.forward)
+    try:
+        ph_mod.apply_rotary_emb = _real_rope
+        style_mod.apply_rotary_emb = _real_rope
+        dit_mod.RMSNorm.forward = _rms_primitive
+        cond_bytes = export(CondExport(exp), (ref, ref_len, ph, ph_mask),
+                            opset=opset)
+        with torch.no_grad():
+            kv = CondExport(exp)(ref, ref_len, ph, ph_mask)
+        den_args = (
+            torch.randn(1, seq_len, LAT),
+            torch.ones(1, seq_len, dtype=torch.bool),
+            torch.tensor([0.5]),
+            kv[0], kv[1], kv[2], kv[3], kv[4], ph_mask,
+            torch.from_numpy(_rope_freqs(seq_len)),
+        )
+        den_bytes = export(DenExport(exp), den_args, opset=opset)
+    finally:
+        (ph_mod.apply_rotary_emb, style_mod.apply_rotary_emb,
+         dit_mod.RMSNorm.forward) = saved
+    torch.manual_seed(11)
+    dec = DacDecoder().eval()
+    dec_bytes = export(dec, (torch.randn(1, seq_len, LAT),), opset=opset)
+    for name, blob in (("condition_encoder.onnx", cond_bytes),
+                       ("denoiser.onnx", den_bytes),
+                       ("decoder.onnx", dec_bytes)):
+        (tmp_path / name).write_bytes(blob)
+
+    tts = ImportedSmallTTS(
+        str(tmp_path / "condition_encoder.onnx"),
+        str(tmp_path / "denoiser.onnx"),
+        str(tmp_path / "decoder.onnx"),
+    )
+    rng = np.random.RandomState(1)
+    noises = rng.randn(4, 1, seq_len, LAT).astype(np.float32)
+    duration = seq_len * 3200 / 24000
+    audio = tts.synthesize(ref.numpy()[0], ph.numpy()[0].tolist(), duration,
+                           noises=noises)
+    want, _ = _oracle_synthesize(model, dec, ref, ref_len, ph, ph_mask,
+                                 seq_len, noises)
+    np.testing.assert_allclose(audio, want, atol=5e-5, rtol=5e-4)
