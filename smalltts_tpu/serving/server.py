@@ -272,7 +272,13 @@ class TTSServer:
         except ValueError:
             return 400, list(CORS_HEADERS), b"invalid duration"
 
-        allowed, challenge = self.gate.check(headers, duration, "/synthesize")
+        if self.gate.blocking:
+            # facilitator (network) and local (EC math) verification must not
+            # stall the event loop
+            allowed, challenge = await asyncio.get_running_loop().run_in_executor(
+                self._pool, self.gate.check, headers, duration, "/synthesize")
+        else:
+            allowed, challenge = self.gate.check(headers, duration, "/synthesize")
         if not allowed:
             # 402 without body, challenge in the header (e2e.rs:241-253)
             return 402, [("payment-required", challenge), *CORS_HEADERS], b""
@@ -347,6 +353,12 @@ class TTSServer:
                     b"payment settlement failed",
                 )
             extra_headers.append(("x-payment-response", receipt))
+        elif self.gate.cfg.mode == "local" and headers.get("x-payment"):
+            # local mode verified in-process; the stub receipt acknowledges
+            # the authorization was accepted (settlement deferred to the
+            # operator's capture file)
+            extra_headers.append(
+                ("x-payment-response", self.gate.settle("", duration)))
 
         wav = self.audio.encode_wav(audio.reshape(-1), 24_000)
         return (
@@ -621,7 +633,7 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=int(os.environ.get("PORT", 3000)))
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--payments", default="disabled",
-                    choices=["disabled", "trust", "facilitator"])
+                    choices=["disabled", "trust", "facilitator", "local"])
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--warmup", action="store_true",
                     help="precompile the FULL serving shape contract before "

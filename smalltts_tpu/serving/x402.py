@@ -14,7 +14,17 @@ src/server/tests/e2e.rs:87-315):
 
 Verification modes: "disabled" (no gating), "trust" (any X-PAYMENT header
 accepted — for offline deployments/tests), "facilitator" (POST the payment
-to FACILITATOR_URL /verify; requires network egress).
+to FACILITATOR_URL /verify; requires network egress), "local" (verify the
+EIP-3009 TransferWithAuthorization signature in-process via serving/eth.py
+— no facilitator, no egress; beyond the reference, whose server can only
+delegate to a facilitator, src/server/src/main.rs:60-79).
+
+Local mode checks: recovered EIP-712 signer == authorization.from, payTo,
+value >= price, validity window, and nonce replay (bounded in-memory set).
+It cannot broadcast the transfer on-chain; verified authorizations are
+appended to `capture_path` (JSONL) so the operator can submit them later —
+EIP-3009 authorizations are submittable by anyone at any time before
+validBefore.
 """
 
 from __future__ import annotations
@@ -23,6 +33,9 @@ import base64
 import json
 import math
 import os
+import threading
+import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
@@ -36,7 +49,7 @@ def price_for_duration(duration_sec: float) -> int:
 
 @dataclass
 class X402Config:
-    mode: str = "disabled"  # disabled | trust | facilitator
+    mode: str = "disabled"  # disabled | trust | facilitator | local
     pay_to: str = field(
         default_factory=lambda: os.environ.get(
             "PAYMENT_ADDRESS", "0xBAc675C310721717Cd4A37F6cbeA1F081b1C2a07"
@@ -52,11 +65,44 @@ class X402Config:
     base_url: str = field(
         default_factory=lambda: os.environ.get("BASE_URL", "http://localhost:3000")
     )
+    # EIP-712 domain of the payment asset (USDC-on-Base defaults); the
+    # website uses the same defaults and honors `extra` overrides we emit
+    usdc_name: str = "USD Coin"
+    usdc_version: str = "2"
+    # local mode: where verified authorizations are archived for later
+    # on-chain submission (JSONL; None = don't archive)
+    capture_path: Optional[str] = field(
+        default_factory=lambda: os.environ.get("X402_CAPTURE_PATH") or None
+    )
+
+
+# EIP-3009 TransferWithAuthorization typed-data template (field order is
+# hash-critical; pinned by tests against both this and the website client)
+EIP3009_TYPES = {
+    "EIP712Domain": [
+        {"name": "name", "type": "string"},
+        {"name": "version", "type": "string"},
+        {"name": "chainId", "type": "uint256"},
+        {"name": "verifyingContract", "type": "address"},
+    ],
+    "TransferWithAuthorization": [
+        {"name": "from", "type": "address"},
+        {"name": "to", "type": "address"},
+        {"name": "value", "type": "uint256"},
+        {"name": "validAfter", "type": "uint256"},
+        {"name": "validBefore", "type": "uint256"},
+        {"name": "nonce", "type": "bytes32"},
+    ],
+}
+
+_NONCE_CAP = 65536  # bounded replay set: ~2 MB worst case, FIFO eviction
 
 
 class X402Gate:
     def __init__(self, cfg: X402Config = None) -> None:
         self.cfg = cfg or X402Config()
+        self._seen_nonces: "OrderedDict[str, None]" = OrderedDict()
+        self._nonce_lock = threading.Lock()
 
     def payment_required_header(self, duration_sec: float, resource: str) -> str:
         amount = price_for_duration(duration_sec)
@@ -74,6 +120,11 @@ class X402Gate:
                     "payTo": self.cfg.pay_to,
                     "maxTimeoutSeconds": 300,
                     "asset": self.cfg.asset,
+                    # EIP-712 domain the server verifies against (the website
+                    # and sign_payment read these; x402 "exact" on EVM carries
+                    # the asset domain in `extra`)
+                    "extra": {"name": self.cfg.usdc_name,
+                              "version": self.cfg.usdc_version},
                 }
             ],
         }
@@ -88,10 +139,80 @@ class X402Gate:
             return False, self.payment_required_header(duration_sec, resource)
         if self.cfg.mode == "trust":
             return True, None
-        ok = self._verify_with_facilitator(payment, duration_sec)
+        if self.cfg.mode == "local":
+            ok = self.verify_local(payment, duration_sec)
+        else:
+            ok = self._verify_with_facilitator(payment, duration_sec)
         if ok:
             return True, None
         return False, self.payment_required_header(duration_sec, resource)
+
+    @property
+    def blocking(self) -> bool:
+        """Whether check() may block (network or EC math) and should run off
+        the event loop."""
+        return self.cfg.mode in ("facilitator", "local")
+
+    def build_typed_data(self, authorization: dict) -> dict:
+        """The exact eth_signTypedData_v4 payload the web client signs
+        (website/index.html signPayment) for a given authorization."""
+        chain_id = int(self.cfg.network.split(":")[1])
+        return {
+            "types": EIP3009_TYPES,
+            "primaryType": "TransferWithAuthorization",
+            "domain": {
+                "name": self.cfg.usdc_name,
+                "version": self.cfg.usdc_version,
+                "chainId": chain_id,
+                "verifyingContract": self.cfg.asset,
+            },
+            "message": authorization,
+        }
+
+    def verify_local(self, payment_b64: str, duration_sec: float) -> bool:
+        """In-process EIP-3009 verification (no facilitator). Fail-closed:
+        any malformed envelope, bad signature, wrong recipient/value/window,
+        or replayed nonce denies the request."""
+        from smalltts_tpu.serving import eth
+
+        try:
+            envelope = json.loads(base64.b64decode(payment_b64))
+            if envelope.get("scheme") != "exact":
+                return False
+            if envelope.get("network") != self.cfg.network:
+                return False
+            payload = envelope["payload"]
+            auth = payload["authorization"]
+            signature = payload["signature"]
+            signer = eth.recover_typed_data(self.build_typed_data(auth), signature)
+            if signer.lower() != str(auth["from"]).lower():
+                return False
+            if str(auth["to"]).lower() != self.cfg.pay_to.lower():
+                return False
+            if int(str(auth["value"])) < price_for_duration(duration_sec):
+                return False
+            now = time.time()
+            if not (int(str(auth["validAfter"])) <= now < int(str(auth["validBefore"]))):
+                return False
+            nonce = str(auth["nonce"]).lower()
+            with self._nonce_lock:
+                if nonce in self._seen_nonces:
+                    return False
+                self._seen_nonces[nonce] = None
+                while len(self._seen_nonces) > _NONCE_CAP:
+                    self._seen_nonces.popitem(last=False)
+        except Exception:
+            return False
+        if self.cfg.capture_path:
+            try:
+                with open(self.cfg.capture_path, "a") as fh:
+                    fh.write(json.dumps(
+                        {"authorization": auth, "signature": signature,
+                         "asset": self.cfg.asset, "network": self.cfg.network}
+                    ) + "\n")
+            except OSError:
+                pass  # archiving is best-effort; the payment itself verified
+        return True
 
     def _facilitator_body(self, payment_b64: str, duration_sec: float) -> bytes:
         """The /verify and /settle request body (x402 v1 facilitator API):
@@ -147,6 +268,49 @@ class X402Gate:
     def settles(self) -> bool:
         """Whether successful requests must settle before the response."""
         return self.cfg.mode == "facilitator"
+
+    def sign_payment(self, priv: int, accept: dict,
+                     nonce: Optional[bytes] = None,
+                     now: Optional[float] = None) -> str:
+        """Client-side: produce the base64 X-PAYMENT envelope for a 402
+        challenge's accepts[0] — the exact flow website/index.html implements
+        in JS (burner wallet / injected wallet). Used by scripts/test_x402.py
+        and the local-mode tests so client and server exercise the same
+        typed-data contract."""
+        import os as _os
+
+        from smalltts_tpu.serving import eth
+
+        nonce = nonce if nonce is not None else _os.urandom(32)
+        now = time.time() if now is None else now
+        authorization = {
+            "from": eth.address_from_priv(priv),
+            "to": accept["payTo"],
+            "value": str(accept["maxAmountRequired"]),
+            "validAfter": "0",
+            "validBefore": str(int(now) + int(accept.get("maxTimeoutSeconds", 300))),
+            "nonce": "0x" + nonce.hex(),
+        }
+        chain_id = int(accept["network"].split(":")[1])
+        extra = accept.get("extra") or {}
+        typed = {
+            "types": EIP3009_TYPES,
+            "primaryType": "TransferWithAuthorization",
+            "domain": {
+                "name": extra.get("name", "USD Coin"),
+                "version": extra.get("version", "2"),
+                "chainId": chain_id,
+                "verifyingContract": accept["asset"],
+            },
+            "message": authorization,
+        }
+        signature = eth.sign_typed_data(priv, typed)
+        return base64.b64encode(json.dumps({
+            "x402Version": 1,
+            "scheme": accept["scheme"],
+            "network": accept["network"],
+            "payload": {"signature": signature, "authorization": authorization},
+        }).encode()).decode()
 
     def discovery(self) -> dict:
         """GET /.well-known/x402 payload (main.rs:158-165)."""
