@@ -130,7 +130,10 @@ def main() -> None:
         ttfb: list[float] = []
 
         def client(cid: int, n_req: int, deadline: float = 0.0) -> None:
-            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            # stream mode opens one conn PER request (the chunked endpoint
+            # closes connections), so the keep-alive conn is non-stream-only
+            conn = None if args.stream else http.client.HTTPConnection(
+                "127.0.0.1", port, timeout=600)
             j = 0
             while (j < n_req) if not deadline else (time.perf_counter() < deadline):
                 body, ctype = bodies[(cid + j) % len(bodies)]
@@ -162,6 +165,8 @@ def main() -> None:
                     with lock:
                         lat.append(time.perf_counter() - t0)
                 j += 1
+            if conn is not None:
+                conn.close()
 
         # clients need their own pool: the loop's default executor is shared
         pool = ThreadPoolExecutor(args.clients + 4)

@@ -130,12 +130,16 @@ def crossfade_stream_step(pending, cur, fade: int):
     streaming time-to-first-audio for zero benefit (only the tail takes
     part in the crossfade)."""
     if pending is None:
+        if fade <= 0:  # no crossfade: emit whole chunks as they arrive
+            return (cur if len(cur) else None), cur[:0]
         if len(cur) <= fade:
             return None, cur
         return cur[:-fade], cur[-fade:]
     n = min(fade, len(pending), len(cur))
     if n <= 0:
-        return pending, cur
+        # a zero-length emit must collapse to None: consumers map emits to
+        # chunked-transfer frames, where an empty chunk is the terminator
+        return (pending if len(pending) else None), cur
     ramp = np.linspace(0.0, 1.0, n, dtype=np.float32)
     blended = pending[-n:] * (1.0 - ramp) + cur[:n] * ramp
     return np.concatenate([pending[:-n], blended]), cur[n:]

@@ -205,8 +205,10 @@ class SmallTTS:
             # selects it (it previously did whenever the checkpoint carried
             # r_gate — the round-2 VERDICT called that default a trap).
             # IMF checkpoints still serve correctly under the 4-step
-            # recurrence (u(x,t,t) == v(x,t) by construction); pass
-            # sampler="imf" to opt into few-step serving.
+            # recurrence: _sample_loop applies the (1 + r_gate) embedding
+            # gate so each step evaluates u(x,t,t) exactly as trained
+            # (train/imf.imf_time_emb with r=t). Pass sampler="imf" to opt
+            # into few-step serving.
             sampler = "dmd"
         if sampler == "imf" and num_steps == NUM_STEPS:
             # corpus gate: IMF-2 measurably beats IMF-1 in mel (6.97 vs

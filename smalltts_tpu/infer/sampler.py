@@ -74,6 +74,13 @@ def _sample_loop(params, cfg, cond, seq_lengths, t_bucket, key, num_steps, noise
     # all step times are known up front: one batched time-embedding MLP call
     # instead of num_steps tiny latency-bound ones inside the loop
     t_embs = time_embedding(params["time_embedding"], ts, cfg.time_embed_dim)
+    if "r_gate" in params:
+        # IMF checkpoint served through this recurrence: its instantaneous
+        # velocity is u(x,t,t), whose embedding is te(t) + r_gate*te(t)
+        # (train/imf.imf_time_emb with r=t) — NOT plain te(t). Identical at
+        # init (r_gate=0) but not after training; feeding the ungated
+        # embedding would evaluate the net off its training manifold.
+        t_embs = t_embs * (1.0 + params["r_gate"]).astype(t_embs.dtype)
     # ...and likewise ONE pass over the adaLN modulation weight stack (~132
     # MB bf16 = 26% of the per-step streamed bytes at full size) for all
     # steps, instead of re-streaming it every step

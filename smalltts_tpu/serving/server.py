@@ -401,6 +401,11 @@ class TTSServer:
                 return (402, [("payment-required", challenge), *CORS_HEADERS],
                         b"payment settlement failed")
             extra_headers.append(("x-payment-response", receipt))
+        elif self.gate.cfg.mode == "local" and headers.get("x-payment"):
+            # same stub receipt the non-stream endpoint returns — paying
+            # clients get the acknowledgment header on both endpoints
+            extra_headers.append(
+                ("x-payment-response", self.gate.settle("", duration)))
 
         sr = 24_000
         fade = int(sr * 20 / 1e3)
@@ -427,8 +432,16 @@ class TTSServer:
         # can't leak if the generator is never iterated; the sub-tick gap
         # before first iteration degrades gracefully because Batcher.submit
         # raises QueueFull once the batcher is closed (fail fast, no hang).
+        # Payment was priced on ?duration= (gate.check verified value >=
+        # price_for_duration(duration)), so in enforcing modes the stream
+        # must not synthesize more audio than was paid for — otherwise a
+        # 0.1 s payment buys a 30-minute text (review r3). Trust mode keeps
+        # the documented behavior: duration is a hint, the full text streams.
+        paid_budget = duration if self.gate.blocking else None
+
         async def gen():
             self._active += 1
+            budget = paid_budget
             try:
                 yield wav_header_unknown_len()
                 pending = None
@@ -437,14 +450,19 @@ class TTSServer:
                 for chunk in split_sentences(text):
                     if not chunk.strip():
                         continue
+                    chunk_dur = estimate_duration(chunk)
+                    if budget is not None:
+                        if budget <= 1e-6:
+                            break  # paid audio exhausted; close the stream
+                        chunk_dur = min(chunk_dur, budget)
+                        budget -= chunk_dur
                     tokens = await loop.run_in_executor(
                         self._pool, self.tokenize, chunk
                     )
                     if not tokens:
                         continue
                     try:
-                        fut = batcher.submit(ref_latents, tokens,
-                                             estimate_duration(chunk))
+                        fut = batcher.submit(ref_latents, tokens, chunk_dur)
                         audio = await asyncio.wrap_future(fut)
                     except QueueFull:
                         self.stats.rejected += 1

@@ -95,13 +95,32 @@ EIP3009_TYPES = {
     ],
 }
 
+def _eip3009_typed_data(name: str, version: str, chain_id: int,
+                        verifying_contract: str, authorization: dict) -> dict:
+    """Single source of truth for the EIP-3009 typed-data envelope — the
+    server's verifier (build_typed_data) and the Python client signer
+    (sign_payment) MUST hash the identical structure, or signing silently
+    desynchronizes from verification."""
+    return {
+        "types": EIP3009_TYPES,
+        "primaryType": "TransferWithAuthorization",
+        "domain": {
+            "name": name,
+            "version": version,
+            "chainId": chain_id,
+            "verifyingContract": verifying_contract,
+        },
+        "message": authorization,
+    }
+
+
 _NONCE_CAP = 65536  # bounded replay set: ~2 MB worst case, FIFO eviction
 
 
 class X402Gate:
     def __init__(self, cfg: X402Config = None) -> None:
         self.cfg = cfg or X402Config()
-        self._seen_nonces: "OrderedDict[str, None]" = OrderedDict()
+        self._seen_nonces: "OrderedDict[bytes, None]" = OrderedDict()
         self._nonce_lock = threading.Lock()
 
     def payment_required_header(self, duration_sec: float, resource: str) -> str:
@@ -156,18 +175,9 @@ class X402Gate:
     def build_typed_data(self, authorization: dict) -> dict:
         """The exact eth_signTypedData_v4 payload the web client signs
         (website/index.html signPayment) for a given authorization."""
-        chain_id = int(self.cfg.network.split(":")[1])
-        return {
-            "types": EIP3009_TYPES,
-            "primaryType": "TransferWithAuthorization",
-            "domain": {
-                "name": self.cfg.usdc_name,
-                "version": self.cfg.usdc_version,
-                "chainId": chain_id,
-                "verifyingContract": self.cfg.asset,
-            },
-            "message": authorization,
-        }
+        return _eip3009_typed_data(
+            self.cfg.usdc_name, self.cfg.usdc_version,
+            int(self.cfg.network.split(":")[1]), self.cfg.asset, authorization)
 
     def verify_local(self, payment_b64: str, duration_sec: float) -> bool:
         """In-process EIP-3009 verification (no facilitator). Fail-closed:
@@ -194,7 +204,12 @@ class X402Gate:
             now = time.time()
             if not (int(str(auth["validAfter"])) <= now < int(str(auth["validBefore"]))):
                 return False
-            nonce = str(auth["nonce"]).lower()
+            # replay key = the CANONICAL 32-byte value the signature hashes
+            # (eth._encode_value bytes32 coding), not the request's hex text:
+            # '0x01..', '01..', and whitespace-embedded spellings all verify
+            # against the same signature, so keying on the string would let
+            # one payment replay under re-encodings.
+            nonce = eth._hexbytes(auth["nonce"]).ljust(32, b"\x00")
             with self._nonce_lock:
                 if nonce in self._seen_nonces:
                     return False
@@ -291,19 +306,10 @@ class X402Gate:
             "validBefore": str(int(now) + int(accept.get("maxTimeoutSeconds", 300))),
             "nonce": "0x" + nonce.hex(),
         }
-        chain_id = int(accept["network"].split(":")[1])
         extra = accept.get("extra") or {}
-        typed = {
-            "types": EIP3009_TYPES,
-            "primaryType": "TransferWithAuthorization",
-            "domain": {
-                "name": extra.get("name", "USD Coin"),
-                "version": extra.get("version", "2"),
-                "chainId": chain_id,
-                "verifyingContract": accept["asset"],
-            },
-            "message": authorization,
-        }
+        typed = _eip3009_typed_data(
+            extra.get("name", "USD Coin"), extra.get("version", "2"),
+            int(accept["network"].split(":")[1]), accept["asset"], authorization)
         signature = eth.sign_typed_data(priv, typed)
         return base64.b64encode(json.dumps({
             "x402Version": 1,

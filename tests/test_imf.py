@@ -172,6 +172,53 @@ def test_smalltts_sampler_policy(setup):
     assert tts2.sampler == "dmd" and tts2.num_steps == 4
 
 
+def test_dmd_recurrence_serves_trained_imf_on_manifold(setup):
+    """Serving an IMF checkpoint through the DMD recurrence must evaluate
+    u(x,t,t) — whose embedding is (1 + r_gate)*te(t) — not plain te(t).
+    The two agree only at init (r_gate = 0); with a trained gate the loop
+    step must equal the manual recurrence built on imf_velocity(t, r=t)
+    (review r3: the old loop fed the ungated embedding)."""
+    from smalltts_tpu.infer.sampler import _sample_loop
+
+    teacher, batch, cond = setup
+    student = init_imf_student(teacher)
+    student["r_gate"] = 0.3 + 0.1 * jnp.cos(
+        jnp.arange(student["r_gate"].shape[0], dtype=jnp.float32))
+    # adaLN modulations are zero-init, which makes an untrained net
+    # insensitive to t_emb entirely — randomize them so the embedding
+    # (and therefore the gate) actually reaches the output
+    blocks = dict(student["dit"]["blocks"])
+    mod_w = blocks["attn_norm"]["linear"]["w"]
+    blocks["attn_norm"] = {"linear": {
+        "w": 0.05 * jax.random.normal(jax.random.PRNGKey(3),
+                                      mod_w.shape, mod_w.dtype),
+        "b": blocks["attn_norm"]["linear"]["b"],
+    }}
+    student["dit"] = {**student["dit"], "blocks": blocks}
+
+    seq_lengths = batch["latents_lengths"]
+    t_bucket = int(batch["latents"].shape[1])
+    b = int(seq_lengths.shape[0])
+    noise = jnp.asarray(
+        np.random.RandomState(7).randn(1, b, t_bucket, 64), jnp.float32)
+
+    got = _sample_loop(student, TINY_BACKBONE, cond, seq_lengths, t_bucket,
+                       jax.random.PRNGKey(0), 1, noise)
+
+    mask = length_mask(seq_lengths, t_bucket)
+    t = jnp.ones((b,), jnp.float32)  # num_steps=1 -> ts = [1.0]
+    alpha, sigma = get_alpha_sigma(1.0)
+    x_t = sigma * noise[0]  # x0 = 0
+    v = imf_velocity(student, TINY_BACKBONE, x_t, mask, t, t, cond)
+    want = jnp.where(mask[..., None], alpha * x_t - sigma * v, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # and the gate genuinely matters: the ungated embedding path disagrees
+    v_ungated = denoise_step(student, TINY_BACKBONE, x_t, mask, t, cond)
+    assert float(jnp.abs(v - v_ungated).max()) > 1e-3
+
+
 def test_imf_step_on_dp_mesh(setup):
     """The IMF distillation step shards over the virtual dp mesh (same
     proof standard as the teacher/DMD2 steps in dryrun_multichip)."""

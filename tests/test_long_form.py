@@ -88,6 +88,29 @@ def test_batcher_concurrent_stress(tts):
     batcher.close()
 
 
+def test_stream_step_never_emits_empty_with_zero_fade():
+    """fade <= 0 must never yield a zero-length emit: consumers map emits
+    to chunked-transfer frames, where an empty chunk is the stream
+    terminator (review r3 — the first-chunk fast path returned cur[:-0])."""
+    import numpy as np
+
+    from smalltts_tpu.infer.long_form import crossfade_stream_step
+
+    a = np.ones(100, np.float32)
+    b = 2 * np.ones(80, np.float32)
+    pending = None
+    emitted = []
+    for cur in (a, b):
+        emit, pending = crossfade_stream_step(pending, cur, fade=0)
+        if emit is not None:
+            assert len(emit) > 0
+            emitted.append(emit)
+    if pending is not None and len(pending):
+        emitted.append(pending)
+    np.testing.assert_array_equal(np.concatenate(emitted),
+                                  np.concatenate([a, b]))
+
+
 def test_stream_equals_batch_concat():
     """Streamed pieces concatenate to exactly synthesize_long's waveform
     when the per-chunk synthesis is deterministic."""

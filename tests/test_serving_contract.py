@@ -858,3 +858,88 @@ def test_stream_first_chunk_before_last_sentence_synthesized():
     # with crossfade holdback the first emit happens during sentence 2
     assert n_at_first is not None and n_at_first < n_sentences, (
         f"first audio chunk only after {n_at_first}/{n_sentences} sentences")
+
+
+def test_stream_payment_caps_synthesized_duration():
+    """Payment is priced on ?duration= (gate.check verified value >=
+    price_for_duration(duration)), so in enforcing modes the stream must
+    not synthesize more than was paid for — without the cap a 1 s payment
+    buys an arbitrarily long text (review r3). Local mode also gets the
+    same x-payment-response acknowledgment as the non-stream endpoint."""
+    import asyncio
+    import struct
+
+    from smalltts_tpu.serving.server import TTSServer
+    from smalltts_tpu.serving.x402 import X402Config, X402Gate
+
+    submitted: list = []
+
+    class _Fast:
+        def synthesize_padded(self, ref, *a, **k):
+            return np.zeros((ref.shape[0], 1, 16 * 3200), np.float32)
+
+        def encode_reference(self, x):
+            return np.zeros((4, 64), np.float32)
+
+    pay_to = "0xBAc675C310721717Cd4A37F6cbeA1F081b1C2a07"
+    server = TTSServer(tts=_Fast(),
+                       x402_cfg=X402Config(mode="local", pay_to=pay_to),
+                       tokenizer=lambda t: [1, 2, 3])
+    batcher = server._ensure_pipeline()
+    real_submit = batcher.submit
+
+    def spying_submit(ref, tokens, duration_sec):
+        submitted.append(duration_sec)
+        return real_submit(ref, tokens, duration_sec)
+
+    batcher.submit = spying_submit
+
+    sr = 24_000
+    pcm16 = np.zeros(sr, "<i2").tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm16)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm16)) + pcm16)
+    # 6 sentences, each estimate_duration-clamped to >= 0.5 s: unpaid total
+    # >= 3 s, paid duration 1.0 s -> at most ~2-3 capped submissions
+    text = " ".join("this is spoken sentence number %d." % i for i in range(6))
+    boundary = "SB"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="audio"\r\n\r\n'
+    ).encode() + wav + (
+        f"\r\n--{boundary}\r\n"
+        'Content-Disposition: form-data; name="text"\r\n\r\n'
+        f"{text}\r\n"
+        f"--{boundary}--\r\n"
+    ).encode()
+
+    # sign a real local-mode payment for 1 s
+    import base64
+    import json as _json
+    gate: X402Gate = server.gate
+    hdr = gate.payment_required_header(1.0, "/synthesize/stream")
+    accept = _json.loads(base64.b64decode(hdr))["accepts"][0]
+    payment = gate.sign_payment(0xD15C0, accept)
+    headers = {"content-type": f"multipart/form-data; boundary={boundary}",
+               "x-payment": payment}
+
+    async def drive():
+        status, resp_headers, agen = await server.handle(
+            "POST", "/synthesize/stream", {"duration": "1.0"}, headers, body)
+        assert status == 200, status
+        # local mode acknowledges the accepted authorization on stream too
+        assert any(k == "x-payment-response" for k, _ in resp_headers)
+        async for _ in agen:
+            pass
+
+    loop = asyncio.new_event_loop()
+    try:
+        loop.run_until_complete(asyncio.wait_for(drive(), timeout=60))
+        loop.run_until_complete(server.shutdown(drain_timeout_s=2))
+    finally:
+        loop.close()
+
+    assert submitted, "stream synthesized nothing"
+    assert sum(submitted) <= 1.0 + 1e-6, (
+        f"stream synthesized {sum(submitted):.2f}s on a 1.0s payment")
+    assert len(submitted) < 6, "cap never engaged"

@@ -42,6 +42,31 @@ def test_signed_payment_accepted_and_nonce_burned():
     assert not ok2 and challenge2
 
 
+def test_replay_under_reencoded_nonce_denied():
+    """The replay set must key on the canonical 32-byte nonce, not its hex
+    spelling: '0x01..', '01..' (no prefix), and whitespace-embedded forms
+    all hash to the same EIP-712 digest (eth._hexbytes tolerates them), so
+    a string-keyed set would let one payment replay (review r3, confirmed
+    exploitable before the fix)."""
+    gate = make_gate()
+    payment = gate.sign_payment(PRIV, challenge_accept(gate))
+    ok, _ = gate.check({"x-payment": payment}, 5.0, "/synthesize")
+    assert ok
+
+    env = json.loads(base64.b64decode(payment))
+    nonce_hex = env["payload"]["authorization"]["nonce"]
+    for respelled in (
+        nonce_hex[2:],                      # strip 0x
+        nonce_hex.upper(),                  # case change
+        "0x" + " ".join(nonce_hex[2:][i:i + 2]
+                        for i in range(0, 64, 2)),  # fromhex skips whitespace
+    ):
+        env["payload"]["authorization"]["nonce"] = respelled
+        replay = base64.b64encode(json.dumps(env).encode()).decode()
+        ok, _ = gate.check({"x-payment": replay}, 5.0, "/synthesize")
+        assert not ok, f"replay accepted under nonce spelling {respelled!r}"
+
+
 def test_no_payment_emits_challenge_with_domain_extra():
     gate = make_gate()
     ok, challenge = gate.check({}, 5.0, "/synthesize")
