@@ -277,6 +277,11 @@ def test_imf_vs_dmd_quality_on_corpus():
         "teacher_32": evaluate("teacher_32", teacher32),
         "teacher_4": evaluate("teacher_4", dmd4(teacher)),
         "dmd_student_4": evaluate("dmd_student_4", dmd4(dmd_student)),
+        # the sampler="auto" path on an IMF checkpoint: DMD-4 recurrence
+        # with the (1 + r_gate) embedding gate (_sample_loop applies it
+        # because the params carry r_gate — review r3 fix). Measures the
+        # policy claim "IMF checkpoints still serve correctly under DMD-4".
+        "imf_under_dmd4": evaluate("imf_under_dmd4", dmd4(imf_student)),
         "imf_2": evaluate("imf_2", imf_k(2)),
         "imf_1": evaluate("imf_1", imf_k(1)),
     }
@@ -290,6 +295,7 @@ def test_imf_vs_dmd_quality_on_corpus():
     mel_imf2, sv_imf2 = results["imf_2"]
     mel_imf1, sv_imf1 = results["imf_1"]
     mel_t32, _ = results["teacher_32"]
+    mel_imf_dmd4, _ = results["imf_under_dmd4"]
     excess = lambda m: m - floor  # noqa: E731
 
     # Measured on this fixture (2026-08, the run that set the sampler
@@ -307,6 +313,11 @@ def test_imf_vs_dmd_quality_on_corpus():
     assert mel_imf2 <= mel_imf1 + 0.1, results
     assert sv_imf2 > sv_dmd - 0.05, results
     assert sv_imf1 > sv_dmd - 0.15, results
+
+    # serving an IMF checkpoint through the auto (DMD-4) recurrence stays
+    # usable: well below untrained scale (~1+ excess). Measured after the
+    # r_gate embedding fix; value recorded in the table comment above.
+    assert excess(mel_imf_dmd4) < 1.1, results
 
     # THE POLICY EVIDENCE: IMF few-step does NOT reach DMD-4 mel parity on
     # this corpus — the basis for sampler="auto" resolving to "dmd"
