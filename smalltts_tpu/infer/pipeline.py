@@ -105,9 +105,15 @@ class SmallTTS:
         - "dmd": the reference-parity 4-step fresh-noise loop;
         - "imf": the integral-velocity student (train/imf.py; defaults to
           2 steps — the corpus quality gate measured IMF-2 > IMF-1);
-        - "auto": "dmd" — always. The corpus gate (tests/test_imf_quality.
-          py) measured IMF few-step short of DMD-4 mel parity, so the
-          faster sampler is explicit opt-in, never a silent default.
+        - "auto": per checkpoint CLASS, each choice corpus-measured
+          (tests/test_imf_quality.py). Plain checkpoints -> "dmd" (DMD-4
+          sits at the codec mel floor; IMF few-step does not reach it, so
+          few-step never silently replaces a DMD/teacher checkpoint). IMF
+          checkpoints (params carry r_gate) -> "imf" 2-step: among the ways
+          to serve THAT checkpoint, IMF-2 measures best (mel 6.97 vs 7.18
+          for IMF-1 vs 7.91 for the gated DMD-4 recurrence on the same
+          weights — interval training degrades the instantaneous velocity,
+          so the 4-step loop is the WORST path for an IMF student).
 
         `codec` selects the codec backend:
         - "native": the fast sub-pixel JAX codec (models/codec.py) — serving
@@ -197,19 +203,22 @@ class SmallTTS:
                 ckpt.cast_floating(codec_params, jnp.float32)
             )
         if sampler == "auto":
-            # Quality-gated policy (tests/test_imf_quality.py, round 3): on
-            # the synthetic corpus the DMD 4-step recurrence reaches the
-            # codec's own mel floor (excess 0.04) while IMF-2/IMF-1 measure
-            # 0.34/0.55 — the few-step student is a real 1.8x/2.4x serving
-            # speedup (PERF.md) but NOT mel-parity, so "auto" never silently
-            # selects it (it previously did whenever the checkpoint carried
-            # r_gate — the round-2 VERDICT called that default a trap).
-            # IMF checkpoints still serve correctly under the 4-step
-            # recurrence: _sample_loop applies the (1 + r_gate) embedding
-            # gate so each step evaluates u(x,t,t) exactly as trained
-            # (train/imf.imf_time_emb with r=t). Pass sampler="imf" to opt
-            # into few-step serving.
-            sampler = "dmd"
+            # Quality-gated policy (tests/test_imf_quality.py). Two corpus
+            # measurements set it:
+            # (1) DMD-4 on a DMD/teacher checkpoint reaches the codec's own
+            #     mel floor (excess 0.04) while IMF few-step measures
+            #     0.34/0.55 — so few-step NEVER silently replaces a plain
+            #     checkpoint (the round-2 auto->IMF-1 behavior was a trap).
+            # (2) For an IMF checkpoint itself, IMF-2 is the best-measured
+            #     serving path (mel 6.97) — ahead of IMF-1 (7.18) AND of
+            #     the gated DMD-4 recurrence on the same weights (7.91;
+            #     _sample_loop applies the (1 + r_gate) embedding so each
+            #     step evaluates u(x,t,t) exactly as trained, and it is
+            #     still the worst path: interval training trades away
+            #     instantaneous-velocity accuracy).
+            # So auto = the best-measured recurrence for the checkpoint
+            # class that was actually loaded.
+            sampler = "imf" if "r_gate" in self.params else "dmd"
         if sampler == "imf" and num_steps == NUM_STEPS:
             # corpus gate: IMF-2 measurably beats IMF-1 in mel (6.97 vs
             # 7.18 against floor 6.63) at equal SV; 2 is the informed
