@@ -22,6 +22,11 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", default="assets/imf_checkpoints")
     ap.add_argument("--substeps", type=int, default=4,
                     help="teacher DDIM substeps per distilled interval")
+    ap.add_argument("--boundary-prob", type=float, default=0.0,
+                    help="fraction of samples trained on the r = t boundary "
+                         "pair (MeanFlow boundary condition; pins u(x,t,t) "
+                         "to the teacher's instantaneous velocity — corpus-"
+                         "measured tradeoff, see scripts/exp_imf_boundary.py)")
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--data-codec-checkpoint", default=None)
     args = ap.parse_args()
@@ -37,7 +42,8 @@ def main() -> None:
 
     train_imf(
         ImfConfig(num_steps=args.steps, batch_size=args.batch_size,
-                  rollout_substeps=args.substeps),
+                  rollout_substeps=args.substeps,
+                  boundary_prob=args.boundary_prob),
         teacher_params=teacher,
         checkpoint_dir=args.checkpoint_dir,
         data_iter=cli_data_iter(args.data_dir, args.data_codec_checkpoint,

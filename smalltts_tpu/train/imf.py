@@ -56,6 +56,17 @@ class ImfConfig:
     rollout_substeps: int = 4   # teacher DDIM substeps per (t, r) interval
     min_interval: float = 0.1
     t_floor: float = 0.02
+    # Fraction of samples trained on the BOUNDARY pair r = t, where the
+    # integral target degenerates to the teacher's instantaneous velocity
+    # (the MeanFlow-family boundary condition). Corpus-measured TRADEOFF
+    # (scripts/exp_imf_boundary.py, 2026-08-17): raising p fixes the
+    # otherwise-unconstrained instantaneous path (under-DMD-4 mel excess
+    # 1.30 -> 1.06 -> 0.70 at p = 0/0.25/0.5) but degrades the few-step
+    # path that actually serves (IMF-2 excess 0.32 -> 0.39 -> 0.57), and
+    # the best path overall stays boundary-free IMF-2 — so the default is
+    # 0.0 and the knob exists for real-data runs where the tradeoff may
+    # differ at scale.
+    boundary_prob: float = 0.0
     save_every: int = 800
 
 
@@ -116,7 +127,7 @@ def make_imf_step(cfg: BackboneConfig, tx, train_cfg: ImfConfig = ImfConfig()):
             batch["phonemes"],
             length_mask(batch["phonemes_lengths"], batch["phonemes"].shape[1]),
         )
-        k_t, k_r, k_eps = jax.random.split(key, 3)
+        k_t, k_r, k_eps, k_b = jax.random.split(key, 4)
         t = jax.random.uniform(
             k_t, (b,), minval=train_cfg.t_floor + train_cfg.min_interval,
             maxval=1.0,
@@ -133,10 +144,22 @@ def make_imf_step(cfg: BackboneConfig, tx, train_cfg: ImfConfig = ImfConfig()):
             teacher_rollout(teacher, cfg, x_t, mask, t, r, cond,
                             train_cfg.rollout_substeps)
         )
-        u_target = (x_t - x_r) / (t - r)[:, None, None]
+        u_int = (x_t - x_r) / (t - r)[:, None, None]
+
+        # MeanFlow boundary condition: per-sample, with prob boundary_prob,
+        # train the pair r = t against the teacher's INSTANTANEOUS velocity
+        # (lim r->t of the integral target). This pins u(x,t,t) = v(x,t),
+        # which interval-only training leaves unconstrained and which the
+        # DMD-recurrence serving path evaluates.
+        boundary = jax.random.bernoulli(
+            k_b, train_cfg.boundary_prob, (b,))
+        v_teacher = jax.lax.stop_gradient(
+            denoise_step(teacher, cfg, x_t, mask, t, cond))
+        r_eff = jnp.where(boundary, t, r)
+        u_target = jnp.where(boundary[:, None, None], v_teacher, u_int)
 
         def loss_fn(p):
-            u = imf_velocity(p, cfg, x_t, mask, t, r, cond)
+            u = imf_velocity(p, cfg, x_t, mask, t, r_eff, cond)
             per = ((u - u_target) ** 2).astype(jnp.float32)
             per = jnp.where(mask[..., None], per, 0.0)
             return per.sum() / jnp.maximum(mask.sum() * latents.shape[-1], 1)

@@ -88,7 +88,11 @@ def test_imf_distillation_loss_decreases(setup):
     student = init_imf_student(teacher)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4))
     opt_state = tx.init(student)
-    step = make_imf_step(TINY_BACKBONE, tx, ImfConfig(rollout_substeps=2))
+    # boundary_prob=0: this test pins the INTERVAL distillation loss
+    # descending; boundary pairs have ~0 loss at init (see the boundary
+    # test above) and make the 25-step sequence bimodal
+    step = make_imf_step(TINY_BACKBONE, tx,
+                         ImfConfig(rollout_substeps=2, boundary_prob=0.0))
     key = jax.random.PRNGKey(1)
     losses = []
     for i in range(25):
@@ -172,6 +176,26 @@ def test_smalltts_sampler_policy(setup):
         cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
     )
     assert tts2.sampler == "dmd" and tts2.num_steps == 4
+
+
+def test_boundary_pairs_have_zero_loss_at_init(setup):
+    """boundary_prob=1 trains every pair at r = t against the teacher's
+    instantaneous velocity — which the zero-gated student equals EXACTLY at
+    init, so the first loss must be ~0; interval pairs (boundary_prob=0)
+    start from a real nonzero distillation loss. Pins both the r_eff
+    selection and the degenerate-target math."""
+    teacher, batch, _ = setup
+    tx = optax.adamw(0.0)  # lr 0: this test only inspects the loss
+    losses = {}
+    for p in (1.0, 0.0):
+        student = init_imf_student(teacher)
+        step = make_imf_step(TINY_BACKBONE, tx,
+                             ImfConfig(rollout_substeps=2, boundary_prob=p))
+        _, _, loss = step(student, tx.init(student), teacher, batch,
+                          jax.random.PRNGKey(0))
+        losses[p] = float(loss)
+    assert losses[1.0] < 1e-8, losses
+    assert losses[0.0] > 1e-4, losses
 
 
 def test_dmd_recurrence_serves_trained_imf_on_manifold(setup):

@@ -176,7 +176,7 @@ def _train_dmd2(teacher, batch, cfg, steps=150):
     return student
 
 
-def _train_imf(teacher, batch, cfg, steps=400):
+def _train_imf(teacher, batch, cfg, steps=400, imf_cfg=None):
     import optax
 
     from smalltts_tpu.train.imf import ImfConfig, init_imf_student, make_imf_step
@@ -184,7 +184,7 @@ def _train_imf(teacher, batch, cfg, steps=400):
     student = init_imf_student(teacher)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4))
     opt = tx.init(student)
-    step = make_imf_step(cfg, tx, ImfConfig(rollout_substeps=4))
+    step = make_imf_step(cfg, tx, imf_cfg or ImfConfig(rollout_substeps=4))
     key = jax.random.PRNGKey(4)
     for _ in range(steps):
         key, sub = jax.random.split(key)
