@@ -125,21 +125,26 @@ def crossfade_stream_step(pending, cur, fade: int):
     """One boundary of incremental crossfading: -> (emit|None, new_pending).
     Concatenating all emits (+ final pending) equals crossfade_concat.
 
-    The first chunk emits everything except its fade tail IMMEDIATELY —
-    holding the whole first sentence until the second arrived doubled
-    streaming time-to-first-audio for zero benefit (only the tail takes
-    part in the crossfade)."""
+    EVERY chunk emits its body the moment it arrives, holding back only the
+    last min(fade, stream_length) samples for the next blend (review r3:
+    the old steady state held the WHOLE remainder of each chunk, so every
+    chunk after the first was delivered one synthesis-interval late — a
+    live player underran for a full sentence per boundary). Holding exactly
+    the stream tail also reproduces crossfade_concat's f =
+    min(fade, len(out), len(next)) semantics for chunks shorter than the
+    fade, which pending-per-chunk did not. Zero-length emits collapse to
+    None: consumers map emits to chunked-transfer frames, where an empty
+    chunk is the stream terminator."""
     if pending is None:
-        if fade <= 0:  # no crossfade: emit whole chunks as they arrive
-            return (cur if len(cur) else None), cur[:0]
-        if len(cur) <= fade:
-            return None, cur
-        return cur[:-fade], cur[-fade:]
-    n = min(fade, len(pending), len(cur))
-    if n <= 0:
-        # a zero-length emit must collapse to None: consumers map emits to
-        # chunked-transfer frames, where an empty chunk is the terminator
-        return (pending if len(pending) else None), cur
-    ramp = np.linspace(0.0, 1.0, n, dtype=np.float32)
-    blended = pending[-n:] * (1.0 - ramp) + cur[:n] * ramp
-    return np.concatenate([pending[:-n], blended]), cur[n:]
+        combined = cur
+    else:
+        n = min(fade, len(pending), len(cur))
+        if n > 0:
+            ramp = np.linspace(0.0, 1.0, n, dtype=np.float32)
+            blended = pending[-n:] * (1.0 - ramp) + cur[:n] * ramp
+            combined = np.concatenate([pending[:-n], blended, cur[n:]])
+        else:
+            combined = np.concatenate([pending, cur])
+    hold = min(max(fade, 0), len(combined))
+    emit = combined[: len(combined) - hold]
+    return (emit if len(emit) else None), combined[len(combined) - hold:]

@@ -93,7 +93,7 @@ class SmallTTS:
         cfg: BackboneConfig = None,
         codec_cfg: CodecConfig = None,
         dtype=None,
-        num_steps: int = NUM_STEPS,
+        num_steps: Optional[int] = None,
         seed: int = 0,
         mesh=None,
         codec="auto",
@@ -126,7 +126,6 @@ class SmallTTS:
         """
         self.cfg = cfg or BackboneConfig()
         self.codec_cfg = codec_cfg or CodecConfig()
-        self.num_steps = num_steps
         self.mesh = mesh  # optional jax.sharding.Mesh: batch shards over "dp"
         if dtype is None:
             dtype = (
@@ -219,11 +218,13 @@ class SmallTTS:
             # So auto = the best-measured recurrence for the checkpoint
             # class that was actually loaded.
             sampler = "imf" if "r_gate" in self.params else "dmd"
-        if sampler == "imf" and num_steps == NUM_STEPS:
-            # corpus gate: IMF-2 measurably beats IMF-1 in mel (6.97 vs
-            # 7.18 against floor 6.63) at equal SV; 2 is the informed
-            # few-step default, 1 remains an explicit choice
-            num_steps = 2
+        if num_steps is None:
+            # per-sampler defaults, both corpus-gated: DMD keeps the
+            # reference's 4; IMF defaults to 2 (IMF-2 measurably beats
+            # IMF-1 in mel, 6.97 vs 7.18 against floor 6.63, at equal SV).
+            # An EXPLICIT num_steps is always honored — the old
+            # `== NUM_STEPS` check silently rewrote a requested 4 to 2.
+            num_steps = 2 if sampler == "imf" else NUM_STEPS
         self.sampler = sampler
         self.num_steps = num_steps
 

@@ -22,35 +22,9 @@ from smalltts_tpu.ops.masking import length_mask
 from smalltts_tpu.ops.schedule import get_alpha_sigma
 
 
-def cfg_velocity(
-    params,
-    cfg: BackboneConfig,
-    x_t,
-    ref,
-    ref_len,
-    mask,
-    ph,
-    ph_mask,
-    t,
-    cfg_scale_text: float = 2.0,
-    cfg_scale_speaker: float = 1.5,
-):
-    """Double classifier-free guidance via 3x batch replication:
-    v = v_c + s_text*(v_c - v_no_text) + s_spk*(v_c - v_no_spk)."""
-    x3 = jnp.concatenate([x_t] * 3, axis=0)
-    ref3 = jnp.concatenate([ref, ref, jnp.zeros_like(ref)], axis=0)
-    ref_len3 = jnp.concatenate([ref_len, ref_len, jnp.zeros_like(ref_len)], axis=0)
-    mask3 = jnp.concatenate([mask] * 3, axis=0)
-    ph3 = jnp.concatenate([ph, jnp.zeros_like(ph), ph], axis=0)
-    ph_mask3 = jnp.concatenate([ph_mask, jnp.zeros_like(ph_mask), ph_mask], axis=0)
-    t3 = jnp.concatenate([t] * 3, axis=0)
-    v3 = backbone_forward(params, cfg, x3, ref3, ref_len3, mask3, ph3, ph_mask3, t3)
-    v_c, v_no_text, v_no_spk = jnp.split(v3, 3, axis=0)
-    return (
-        v_c
-        + cfg_scale_text * (v_c - v_no_text)
-        + cfg_scale_speaker * (v_c - v_no_spk)
-    )
+from smalltts_tpu.models.backbone import cfg_velocity  # noqa: F401  (shared
+# implementation lives beside backbone_forward; re-exported here because the
+# teacher sampler is this module's public surface)
 
 
 def _cfg_conditions(params, cfg: BackboneConfig, ref, ref_len, ph, ph_mask):

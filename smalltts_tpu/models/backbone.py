@@ -132,6 +132,42 @@ def backbone_forward(
     return velocity
 
 
+def cfg_velocity(
+    params,
+    cfg: BackboneConfig,
+    x_t,
+    ref,
+    ref_len,
+    mask,
+    ph,
+    ph_mask,
+    t,
+    cfg_scale_text: float = 2.0,
+    cfg_scale_speaker: float = 1.5,
+):
+    """Double classifier-free guidance via 3x batch replication
+    (reference: distill.py:75-105):
+    v = v_c + s_text*(v_c - v_no_text) + s_spk*(v_c - v_no_spk).
+    The SINGLE implementation shared by the DMD distiller's teacher target
+    and the many-step teacher sampler — the hash-critical replication
+    order (cond, text-dropped, speaker-dropped) must never diverge between
+    training and inference."""
+    x3 = jnp.concatenate([x_t] * 3, axis=0)
+    ref3 = jnp.concatenate([ref, ref, jnp.zeros_like(ref)], axis=0)
+    ref_len3 = jnp.concatenate([ref_len, ref_len, jnp.zeros_like(ref_len)], axis=0)
+    mask3 = jnp.concatenate([mask] * 3, axis=0)
+    ph3 = jnp.concatenate([ph, jnp.zeros_like(ph), ph], axis=0)
+    ph_mask3 = jnp.concatenate([ph_mask, jnp.zeros_like(ph_mask), ph_mask], axis=0)
+    t3 = jnp.concatenate([t] * 3, axis=0)
+    v3 = backbone_forward(params, cfg, x3, ref3, ref_len3, mask3, ph3, ph_mask3, t3)
+    v_c, v_no_text, v_no_spk = jnp.split(v3, 3, axis=0)
+    return (
+        v_c
+        + cfg_scale_text * (v_c - v_no_text)
+        + cfg_scale_speaker * (v_c - v_no_spk)
+    )
+
+
 def encode_conditions(
     p,
     cfg: BackboneConfig,

@@ -44,10 +44,12 @@ def op(name: str):
 class Ctx:
     """Per-node evaluation context handed to op implementations."""
 
-    def __init__(self, node: Node, opset: int, env: dict):
+    def __init__(self, node: Node, opset: int, env: dict,
+                 statics: Optional[dict] = None):
         self.node = node
         self.opset = opset
         self._env = env
+        self._statics = statics or {}
         self.attrs = node.attributes
 
     # ---- attribute accessors
@@ -87,6 +89,15 @@ class Ctx:
         v = self.input(idx)
         if v is None:
             return None
+        name = self.node.inputs[idx]
+        if isinstance(v, jax.core.Tracer) and name in self._statics:
+            # An INITIALIZER threaded through jit arrives as a tracer, but
+            # its value is the stored host-side numpy copy bit-for-bit
+            # (torch.onnx.export with do_constant_folding=True emits
+            # Reshape/Slice/Pad shape tensors as initializers). Shape
+            # tensors are graph structure, not weights — using the host
+            # copy keeps the graph compilable with params as jit args.
+            return np.asarray(self._statics[name])
         return to_static(v, f"{self.node.op_type} input #{idx}")
 
 
@@ -169,7 +180,7 @@ class OnnxFunction:
         env[""] = None
         for node in self.model.graph.nodes:
             fn = _REGISTRY[node.op_type]
-            ctx = Ctx(node, self.opset, env)
+            ctx = Ctx(node, self.opset, env, self.params)
             args = [env[name] if name else None for name in node.inputs]
             if all(a is None or _is_const(a) for a in args):
                 # Constant folding. Inside a jit trace even jnp ops on numpy
@@ -429,25 +440,32 @@ _reduce(
 )
 
 
-@op("ArgMax")
-def _argmax(ctx, x):
+def _arg_extreme(ctx, x, fn):
     axis = ctx.attr_i("axis", 0)
     keep = bool(ctx.attr_i("keepdims", 1))
-    out = jnp.argmax(x, axis=axis).astype(jnp.int64)
+    if ctx.attr_i("select_last_index", 0):
+        # ONNX spec: ties resolve to the LAST occurrence; jnp.argmax/argmin
+        # return the first, so scan the reversed axis and mirror the index
+        rev = fn(jnp.flip(x, axis=axis), axis=axis)
+        out = (x.shape[axis] - 1 - rev).astype(jnp.int64)
+    else:
+        out = fn(x, axis=axis).astype(jnp.int64)
     return jnp.expand_dims(out, axis) if keep else out
+
+
+@op("ArgMax")
+def _argmax(ctx, x):
+    return _arg_extreme(ctx, x, jnp.argmax)
 
 
 @op("ArgMin")
 def _argmin(ctx, x):
-    axis = ctx.attr_i("axis", 0)
-    keep = bool(ctx.attr_i("keepdims", 1))
-    out = jnp.argmin(x, axis=axis).astype(jnp.int64)
-    return jnp.expand_dims(out, axis) if keep else out
+    return _arg_extreme(ctx, x, jnp.argmin)
 
 
 @op("CumSum")
 def _cumsum(ctx, x, axis):
-    ax = int(to_static(axis, "CumSum axis"))
+    ax = int(ctx.static_input(1))
     if ctx.attr_i("exclusive", 0) or ctx.attr_i("reverse", 0):
         y = jnp.asarray(x)
         if ctx.attr_i("reverse", 0):
@@ -503,7 +521,7 @@ def _constant(ctx):
 
 @op("ConstantOfShape")
 def _constant_of_shape(ctx, shape):
-    dims = tuple(int(d) for d in to_static(shape, "ConstantOfShape"))
+    dims = tuple(int(d) for d in ctx.static_input(0))
     val = ctx.attr_tensor("value")
     if val is None:
         val = np.zeros((1,), np.float32)
@@ -512,15 +530,15 @@ def _constant_of_shape(ctx, shape):
 
 @op("Range")
 def _range(ctx, start, limit, delta):
-    s = to_static(start, "Range start")
-    l = to_static(limit, "Range limit")
-    d = to_static(delta, "Range delta")
+    s = ctx.static_input(0)
+    l = ctx.static_input(1)
+    d = ctx.static_input(2)
     return np.arange(s.item(), l.item(), d.item(), dtype=s.dtype)
 
 
 @op("Reshape")
 def _reshape(ctx, x, shape):
-    target = [int(d) for d in to_static(shape, "Reshape shape")]
+    target = [int(d) for d in ctx.static_input(1)]
     xshape = jnp.shape(x)
     allowzero = ctx.attr_i("allowzero", 0)
     if not allowzero:
@@ -671,7 +689,7 @@ def _scatter_elements(ctx, x, indices, updates):
 
 @op("Expand")
 def _expand(ctx, x, shape):
-    target = [int(d) for d in to_static(shape, "Expand shape")]
+    target = [int(d) for d in ctx.static_input(1)]
     xa = jnp.asarray(x)
     # ONNX Expand uses numpy broadcasting; dims of 1 in target keep input dim
     in_shape = list(xa.shape)
@@ -685,7 +703,7 @@ def _expand(ctx, x, shape):
 
 @op("Tile")
 def _tile(ctx, x, repeats):
-    reps = [int(r) for r in to_static(repeats, "Tile repeats")]
+    reps = [int(r) for r in ctx.static_input(1)]
     out = jnp.tile(jnp.asarray(x), reps)
     return np.asarray(out) if _is_const(x) else out
 
@@ -700,7 +718,8 @@ def _pad(ctx, x, *rest):
     else:
         pads = [int(p) for p in np.atleast_1d(ctx.static_input(1))]
         cv = ctx.input(2)
-        cval = float(to_static(cv, "Pad value").reshape(())) if cv is not None else 0.0
+        cval = (float(ctx.static_input(2).reshape(()))
+                if cv is not None else 0.0)
         axes_v = ctx.static_input(3) if len(ctx.node.inputs) > 3 else None
         axes = None if axes_v is None else [int(a) for a in np.atleast_1d(axes_v)]
         mode = ctx.attr_s("mode", "constant")
@@ -761,8 +780,8 @@ def _trilu(ctx, x, *rest):
 @op("OneHot")
 def _one_hot(ctx, indices, depth, values):
     axis = ctx.attr_i("axis", -1)
-    d = int(to_static(depth, "OneHot depth").reshape(()))
-    vals = to_static(values, "OneHot values")
+    d = int(ctx.static_input(1).reshape(()))
+    vals = ctx.static_input(2)
     idx = jnp.asarray(indices)
     # indices outside [-d, d-1] must yield an all-off row (no wrapping)
     valid = (idx >= -d) & (idx < d)
@@ -1323,7 +1342,7 @@ def _upsample(ctx, x, scales=None):
     if scales is None:
         sc = ctx.attr_floats("scales")
     else:
-        sc = [float(s) for s in to_static(scales, "Upsample scales")]
+        sc = [float(s) for s in ctx.static_input(1)]
     out = xa
     for axis in range(xa.ndim):
         out_dim = int(math.floor(xa.shape[axis] * sc[axis]))

@@ -65,8 +65,20 @@ def _stft_mag(x: jax.Array, n_fft: int) -> jax.Array:
 
 
 def multi_stft_loss(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Multi-resolution STFT loss between (B, T) waveforms."""
-    total = 0.0
+    """Multi-resolution STFT loss between (B, T) waveforms.
+
+    DELIBERATELY distinct from codec_train.multi_resolution_stft_loss (not
+    a drifted copy): this one hann-windows its frames, puts the epsilon
+    inside the magnitude sqrt, and tolerates clips shorter than the longer
+    FFTs — distillation slices are arbitrary-length teacher audio, while
+    the from-scratch trainer controls its clip length and trains unwindowed
+    hop-multiple segments. Merge them only with re-measured training runs.
+
+    Averaged over the resolutions that actually FIT the audio (review r3:
+    dividing by len(STFT_SIZES) while skipping the long FFTs silently
+    under-weighted the spectral term 3x for sub-1024-sample clips). Audio
+    shorter than every resolution is a caller error, not a zero loss."""
+    total, used = 0.0, 0
     for n_fft in STFT_SIZES:
         if a.shape[-1] < n_fft:
             continue
@@ -74,7 +86,18 @@ def multi_stft_loss(a: jax.Array, b: jax.Array) -> jax.Array:
         sc = jnp.linalg.norm(ma - mb) / jnp.maximum(jnp.linalg.norm(mb), 1e-6)
         log_l1 = jnp.abs(jnp.log(ma) - jnp.log(mb)).mean()
         total = total + sc + log_l1
-    return total / len(STFT_SIZES)
+        used += 1
+    if used == 0:
+        # tiny clips (test fixtures) train on L1 + latent losses alone —
+        # legitimate, but it must be SAID, not silently zero
+        import warnings
+
+        warnings.warn(
+            f"audio ({a.shape[-1]} samples) is shorter than every STFT "
+            f"resolution {STFT_SIZES}; spectral loss contributes nothing",
+            stacklevel=2)
+        return jnp.zeros(())
+    return total / used
 
 
 def make_codec_distill_step(

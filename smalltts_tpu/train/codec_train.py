@@ -47,7 +47,11 @@ def _stft_mag(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
 
 def multi_resolution_stft_loss(pred: jax.Array, target: jax.Array,
                                resolutions) -> jax.Array:
-    """Spectral convergence + log-magnitude L1, averaged over resolutions."""
+    """Spectral convergence + log-magnitude L1, averaged over resolutions.
+
+    DELIBERATELY distinct from codec_distill.multi_stft_loss (see the note
+    there): unwindowed frames, epsilon in the log, configurable hops, and
+    clips are required to fit every resolution."""
     loss = 0.0
     for n_fft, hop in resolutions:
         p = _stft_mag(pred, n_fft, hop)

@@ -38,7 +38,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from smalltts_tpu.models.backbone import BackboneConfig, backbone_forward
+from smalltts_tpu.models.backbone import (
+    BackboneConfig,
+    backbone_forward,
+    cfg_velocity,
+)
 from smalltts_tpu.models.discriminator import (
     DiscriminatorConfig,
     discriminator_forward,
@@ -47,6 +51,7 @@ from smalltts_tpu.models.asr import ASRConfig, asr_forward
 from smalltts_tpu.models.style_encoder import style_encoder
 from smalltts_tpu.models.sv import SVConfig, sv_forward
 from smalltts_tpu.ops.masking import length_mask
+from smalltts_tpu.ops.losses import cosine_loss
 from smalltts_tpu.ops.schedule import apply_noise, get_alpha_sigma
 
 TIMESTEPS = (1.0, 1.0, 0.75, 0.50, 0.25)
@@ -83,32 +88,13 @@ def _x_pred(params, cfg, x_t, ref, ref_len, mask, ph, ph_mask, t,
 
 
 def _x_pred_cfg(params, cfg, x_t, ref, ref_len, mask, ph, ph_mask, t):
-    """Teacher x0 with double CFG via 3x batch replication
-    (distill.py:75-105)."""
-    x3 = jnp.concatenate([x_t] * 3, axis=0)
-    ref3 = jnp.concatenate([ref, ref, jnp.zeros_like(ref)], axis=0)
-    ref_len3 = jnp.concatenate([ref_len, ref_len, jnp.zeros_like(ref_len)], axis=0)
-    mask3 = jnp.concatenate([mask] * 3, axis=0)
-    ph3 = jnp.concatenate([ph, jnp.zeros_like(ph), ph], axis=0)
-    ph_mask3 = jnp.concatenate(
-        [ph_mask, jnp.zeros_like(ph_mask), ph_mask], axis=0
-    )
-    t3 = jnp.concatenate([t] * 3, axis=0)
-    vel3 = backbone_forward(params, cfg, x3, ref3, ref_len3, mask3, ph3, ph_mask3, t3)
-    v_cond, v_unc_text, v_unc_spk = jnp.split(vel3, 3, axis=0)
-    velocity = (
-        v_cond
-        + CFG_SCALE_TEXT * (v_cond - v_unc_text)
-        + CFG_SCALE_SPEAKER * (v_cond - v_unc_spk)
-    )
+    """Teacher x0 with double CFG (reference: distill.py:75-105) — the
+    velocity comes from the SHARED cfg_velocity (models/backbone.py), the
+    same code the many-step teacher sampler runs."""
+    velocity = cfg_velocity(params, cfg, x_t, ref, ref_len, mask, ph, ph_mask,
+                            t, CFG_SCALE_TEXT, CFG_SCALE_SPEAKER)
     alpha, sigma = get_alpha_sigma(t)
     return alpha[:, None, None] * x_t - sigma[:, None, None] * velocity
-
-
-def _cosine_loss(x, y):
-    x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
-    y = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-8)
-    return 1.0 - (x * y).sum(axis=-1)
 
 
 def _unpack(batch):
@@ -227,7 +213,7 @@ def make_student_step(
             # ---- SV cosine loss (frozen SV) ----
             true_emb, _ = sv_forward(sg(sv), sv_cfg, sg(latents), lat_len)
             stu_emb, _ = sv_forward(sg(sv), sv_cfg, x0, lat_len)
-            sv_loss = _cosine_loss(stu_emb, sg(true_emb)).mean()
+            sv_loss = cosine_loss(stu_emb, sg(true_emb)).mean()
 
             lam_asr = jnp.where(step > train_cfg.asr_start_step, 1.0, 0.0)
             lam_sv = jnp.where(step > train_cfg.sv_start_step, 1.0, 0.0)
@@ -439,14 +425,18 @@ def train_distill(
         scorer, opt_scorer, scorer_loss = scorer_step(
             scorer, opt_scorer, student, batch, carry, k3
         )
-        metrics = {**{k: float(v) for k, v in metrics.items()},
-                   "disc_loss": float(disc_loss), "scorer_loss": float(scorer_loss)}
+        # keep metrics as device arrays between logs: float() forces a
+        # host-device sync that would serialize the three async step
+        # dispatches on every iteration (review r3)
+        metrics = {**metrics, "disc_loss": disc_loss, "scorer_loss": scorer_loss}
         if step % 50 == 0 and writer:
-            print(f"step {step}: " + " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+            print(f"step {step}: " + " ".join(
+                f"{k}={float(v):.5f}" for k, v in metrics.items()))
         if step % train_cfg.save_every == 0 and step > 1 and writer:
             saver.wait()
             saver.save_pytree(f"{checkpoint_dir}/student_latest.npz", student)
             saver.save_pytree(f"{checkpoint_dir}/scorer_latest.npz", scorer)
             saver.save_pytree(f"{checkpoint_dir}/discriminator_latest.npz", disc)
     saver.close()
-    return student, scorer, disc, metrics
+    # one sync at the end keeps the public return type plain floats
+    return student, scorer, disc, {k: float(v) for k, v in metrics.items()}

@@ -151,12 +151,15 @@ def make_imf_step(cfg: BackboneConfig, tx, train_cfg: ImfConfig = ImfConfig()):
         # (lim r->t of the integral target). This pins u(x,t,t) = v(x,t),
         # which interval-only training leaves unconstrained and which the
         # DMD-recurrence serving path evaluates.
-        boundary = jax.random.bernoulli(
-            k_b, train_cfg.boundary_prob, (b,))
-        v_teacher = jax.lax.stop_gradient(
-            denoise_step(teacher, cfg, x_t, mask, t, cond))
-        r_eff = jnp.where(boundary, t, r)
-        u_target = jnp.where(boundary[:, None, None], v_teacher, u_int)
+        if train_cfg.boundary_prob > 0.0:  # static: skip the extra teacher
+            boundary = jax.random.bernoulli(  # forward entirely when off
+                k_b, train_cfg.boundary_prob, (b,))
+            v_teacher = jax.lax.stop_gradient(
+                denoise_step(teacher, cfg, x_t, mask, t, cond))
+            r_eff = jnp.where(boundary, t, r)
+            u_target = jnp.where(boundary[:, None, None], v_teacher, u_int)
+        else:
+            r_eff, u_target = r, u_int
 
         def loss_fn(p):
             u = imf_velocity(p, cfg, x_t, mask, t, r_eff, cond)

@@ -24,6 +24,7 @@ import optax
 
 from smalltts_tpu.models.codec import CodecConfig, codec_decode
 from smalltts_tpu.models.sv import SVConfig, init_sv, sv_forward
+from smalltts_tpu.ops.losses import cosine_loss
 
 
 @dataclass(frozen=True)
@@ -54,12 +55,6 @@ def make_fallback_teacher(emb_dim: int = 192, seed: int = 1234):
     return teacher_fn, {"w": w}
 
 
-def _cosine_loss(x, y):
-    x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
-    y = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-8)
-    return 1.0 - (x * y).sum(axis=-1)
-
-
 def make_sv_step(cfg: SVConfig, codec_cfg: CodecConfig, tx, teacher_fn: Callable):
     """`teacher_fn(teacher_params, audio)` — the frozen teacher's weights are
     a step argument, never a closure (a closed-over voxceleb ECAPA would bake
@@ -79,7 +74,7 @@ def make_sv_step(cfg: SVConfig, codec_cfg: CodecConfig, tx, teacher_fn: Callable
 
         def loss_fn(p):
             emb, new_p = sv_forward(p, cfg, latents, lengths, train=True)
-            per = _cosine_loss(emb, true_emb)
+            per = cosine_loss(emb, true_emb)
             per = jnp.where(bad, 0.0, per)
             return per.sum() / jnp.maximum((~bad).sum(), 1), new_p
 

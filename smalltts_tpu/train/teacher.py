@@ -54,10 +54,11 @@ def apply_cfg_drops(key, batch, text_drop: float, speaker_drop: float):
     return phonemes, ph_lengths, ref, ref_lengths
 
 
-def teacher_loss(params, cfg: BackboneConfig, batch, key):
+def teacher_loss(params, cfg: BackboneConfig, batch, key,
+                 train_cfg: TeacherTrainConfig = TeacherTrainConfig()):
     k_drop, k_t, k_noise = jax.random.split(key, 3)
     phonemes, ph_lengths, ref, ref_lengths = apply_cfg_drops(
-        k_drop, batch, TeacherTrainConfig.text_cfg_drop, TeacherTrainConfig.speaker_cfg_drop
+        k_drop, batch, train_cfg.text_cfg_drop, train_cfg.speaker_cfg_drop
     )
     latents = batch["latents"]
     b, t_len, _ = latents.shape
@@ -74,10 +75,12 @@ def teacher_loss(params, cfg: BackboneConfig, batch, key):
     return masked_mse(velocity, v_target, mask)
 
 
-def make_teacher_step(cfg: BackboneConfig, tx):
+def make_teacher_step(cfg: BackboneConfig, tx,
+                      train_cfg: TeacherTrainConfig = TeacherTrainConfig()):
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, opt_state, ema_params, batch, key):
-        loss, grads = jax.value_and_grad(teacher_loss)(params, cfg, batch, key)
+        loss, grads = jax.value_and_grad(teacher_loss)(params, cfg, batch, key,
+                                                       train_cfg)
         # failure containment: skip the update on non-finite loss/grads (a bad
         # batch must not poison 330k steps; the reference has no such guard)
         finite = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
@@ -91,7 +94,7 @@ def make_teacher_step(cfg: BackboneConfig, tx):
             lambda new, old: jnp.where(finite, new, old) if hasattr(new, "shape") else new,
             new_opt_state, opt_state,
         )
-        ema_params = ema_update(ema_params, params, TeacherTrainConfig.ema_beta)
+        ema_params = ema_update(ema_params, params, train_cfg.ema_beta)
         return params, opt_state, ema_params, loss
 
     return step
@@ -142,7 +145,7 @@ def train_teacher(
         opt_state = replicated(opt_state, mesh)
         ema_params = replicated(ema_params, mesh)
 
-    step_fn = make_teacher_step(model_cfg, tx)
+    step_fn = make_teacher_step(model_cfg, tx, train_cfg)
     data_iter = data_iter or get_dummy_dataloader(train_cfg.batch_size, seed)
     # ~4 GB of weights+state per save at full size: serialize off-thread so
     # the step loop never stalls on disk (utils/checkpoint.AsyncCheckpointer)

@@ -111,6 +111,36 @@ def test_stream_step_never_emits_empty_with_zero_fade():
                                   np.concatenate([a, b]))
 
 
+def test_stream_step_emits_each_chunk_body_immediately():
+    """Every chunk's body must be delivered at ITS boundary, holding back
+    only the fade tail (review r3: the old steady state held the whole
+    remainder of each chunk, delaying all audio after sentence 1 by a full
+    synthesis interval)."""
+    import numpy as np
+
+    from smalltts_tpu.infer.long_form import crossfade_stream_step
+
+    fade = 480
+    c1 = np.ones(1000, np.float32)
+    c2 = 2 * np.ones(1000, np.float32)
+    emit1, pending = crossfade_stream_step(None, c1, fade)
+    assert len(emit1) == 1000 - fade
+    emit2, pending = crossfade_stream_step(pending, c2, fade)
+    # chunk 2's body (1000 - 480 blend consumed - 480 held) arrives NOW;
+    # the old code emitted only the 480-sample blend here and held 520
+    assert len(emit2) == 1000 - fade
+    assert len(pending) == fade
+
+    # short-chunk corner: a chunk shorter than the fade must still leave
+    # the held tail equal to min(fade, unemitted stream), matching
+    # crossfade_concat's f = min(fade, len(out), len(next)); here the
+    # 300-sample chunk blends fully into the tail and nothing can emit
+    tiny = 0.5 * np.ones(300, np.float32)
+    emit3, pending = crossfade_stream_step(pending, tiny, fade)
+    assert emit3 is None
+    assert len(pending) == fade  # tail refilled from the merged stream
+
+
 def test_stream_equals_batch_concat():
     """Streamed pieces concatenate to exactly synthesize_long's waveform
     when the per-chunk synthesis is deterministic."""

@@ -716,3 +716,40 @@ def test_serialize_model_resolves_external_data_against_model_dir(tmp_path):
     m2 = proto.parse_model(blob2)
     np.testing.assert_array_equal(
         proto.tensor_to_numpy(m2.graph.initializers[0]), w)
+
+
+def test_initializer_shape_input_compiles_under_jit():
+    """torch.onnx.export with do_constant_folding=True stores Reshape/
+    Expand target shapes as int64 INITIALIZERS; since params are threaded
+    as jit arguments (to keep weights out of the HLO), those initializers
+    arrive as tracers at shape-consuming inputs. static_input must fall
+    back to the host-side numpy copy instead of raising 'data-dependent
+    shape computation' (review r3)."""
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+
+    fn = _single_op_fn("Reshape", 1,
+                       inits={"shape": np.asarray([2, 6], np.int64)})
+    out = jax.jit(fn)(fn.params, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(out), x.reshape(2, 6))
+
+    fn = _single_op_fn("Expand", 1,
+                       inits={"shape": np.asarray([2, 3, 4], np.int64)})
+    out = jax.jit(fn)(fn.params, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.broadcast_to(x, (2, 3, 4)))
+
+
+def test_argmax_select_last_index():
+    """ONNX: select_last_index=1 resolves ties to the LAST occurrence
+    (jnp.argmax returns the first; review r3 found the attribute silently
+    ignored)."""
+    x = np.asarray([[3.0, 1.0, 3.0], [1.0, 2.0, 2.0]], np.float32)
+    first = _single_op_fn(
+        "ArgMax", 1, {"axis": proto.attr_i("axis", 1),
+                      "keepdims": proto.attr_i("keepdims", 0)})
+    last = _single_op_fn(
+        "ArgMax", 1, {"axis": proto.attr_i("axis", 1),
+                      "keepdims": proto.attr_i("keepdims", 0),
+                      "select_last_index": proto.attr_i("select_last_index", 1)})
+    np.testing.assert_array_equal(np.asarray(first(first.params, x)), [0, 1])
+    np.testing.assert_array_equal(np.asarray(last(last.params, x)), [2, 2])

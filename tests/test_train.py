@@ -38,6 +38,39 @@ def test_cfg_drops_zero_conditioning():
     np.testing.assert_array_equal(np.asarray(ph), np.asarray(batch["phonemes"]))
 
 
+def test_teacher_step_honors_instance_train_cfg():
+    """Custom TeacherTrainConfig values must reach the step (review r3:
+    teacher_loss/make_teacher_step read CLASS attributes, silently running
+    default CFG dropout and EMA decay regardless of what was passed).
+    ema_beta=0 makes EMA equal params after one step — observable only if
+    the instance value is used (the class default 0.9999 keeps EMA at
+    init)."""
+    from smalltts_tpu.train.teacher import TeacherTrainConfig
+
+    params = init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE)
+    tx, _ = teacher_optimizer(params, num_steps=100, warmup=1)
+    step = make_teacher_step(TINY_BACKBONE, tx,
+                             TeacherTrainConfig(ema_beta=0.0))
+    params, _, ema, _ = step(params, tx.init(params), ema_init(params),
+                             _tiny_batch(), jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        np.asarray(ema["velocity"]["w"]), np.asarray(params["velocity"]["w"]),
+        err_msg="ema_beta=0.0 from the instance config was ignored")
+
+    # text_cfg_drop=1.0: every sample's phonemes zero -> the loss must be
+    # INVARIANT to the phoneme content of the batch
+    from smalltts_tpu.train.teacher import teacher_loss
+
+    batch = _tiny_batch()
+    batch2 = dict(batch)
+    batch2["phonemes"] = (batch["phonemes"] + 7) % 150 + 1
+    cfg_all_drop = TeacherTrainConfig(text_cfg_drop=1.0, speaker_cfg_drop=0.0)
+    key = jax.random.PRNGKey(2)
+    l1 = float(teacher_loss(params, TINY_BACKBONE, batch, key, cfg_all_drop))
+    l2 = float(teacher_loss(params, TINY_BACKBONE, batch2, key, cfg_all_drop))
+    assert l1 == l2, (l1, l2)
+
+
 def test_teacher_step_loss_decreases_and_nan_guard():
     """One compiled step exercises both behaviors (loss decreases on a fixed
     batch; a poisoned batch must not corrupt params) — sharing the ~30 s
