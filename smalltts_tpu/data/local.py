@@ -60,7 +60,14 @@ def scan_corpus(root: str) -> List[Tuple[str, str]]:
             line = line.strip()
             if not line:
                 continue
-            wav, _, text = line.partition("|")
+            # LJSpeech metadata is id|raw_text|normalized_text — take the
+            # LAST non-empty field (normalized preferred; plain id|text
+            # files have just the one). partition() kept everything after
+            # the first '|', feeding 'raw|normalized' into the phonemizer
+            # (review r3).
+            fields = line.split("|")
+            wav = fields[0]
+            text = next((f for f in reversed(fields[1:]) if f.strip()), "")
             wav = wav if os.path.isabs(wav) else os.path.join(root, wav)
             if not wav.endswith(".wav"):
                 wav += ".wav"
@@ -113,7 +120,7 @@ class LocalDataset:
             ids = np.asarray(tokenizer(text), np.int32)[: cfg.max_phonemes]
             if len(ids) == 0:
                 return None
-            return audio[:n].astype(np.float32), ids
+            return audio[:n].astype(np.float32), ids, text
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -121,8 +128,9 @@ class LocalDataset:
         workers = min(len(pairs), max(2, (os.cpu_count() or 2)))
         with ThreadPoolExecutor(workers) as pool:
             prepped = [p for p in pool.map(prep, pairs) if p is not None]
-        clips: List[np.ndarray] = [c for c, _ in prepped]
-        tokens: List[np.ndarray] = [t for _, t in prepped]
+        clips: List[np.ndarray] = [c for c, _, _ in prepped]
+        tokens: List[np.ndarray] = [t for _, t, _ in prepped]
+        self.texts: List[str] = [x for _, _, x in prepped]
         if not clips:
             raise ValueError(
                 f"all clips under {root!r} shorter than "
@@ -162,7 +170,7 @@ class LocalDataset:
             j = int(rng.integers(len(self.tokens)))
             ids = self.tokens[j]
             full = self.latents[j]
-            texts.append(j)
+            texts.append(self.texts[j])  # dummy.py contract: strings
             ph_lens[i] = len(ids)
             ph[i, : len(ids)] = ids
             n = len(full)

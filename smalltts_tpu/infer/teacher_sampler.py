@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from smalltts_tpu.models.backbone import BackboneConfig, backbone_forward
+from smalltts_tpu.models.backbone import BackboneConfig
 from smalltts_tpu.ops.masking import length_mask
 from smalltts_tpu.ops.schedule import get_alpha_sigma
 

@@ -115,7 +115,8 @@ def _conv_module(p, cfg: ConformerConfig, x, mask, train: bool):
     h = nn.conv1d(p["dw"], h, groups=cfg.input_dim, padding=(k - 1) // 2)
     new_p = p
     if cfg.use_group_norm:
-        h = nn.groupnorm(p["gn_scale"], p["gn_bias"], h, num_groups=1)
+        h = nn.groupnorm(p["gn_scale"], p["gn_bias"], h, num_groups=1,
+                         mask=mask if cfg.pad_invariant else None)
     else:
         h, new_bn = nn.batchnorm(p["bn"], h, train, mask)
         new_p = dict(p)

@@ -381,7 +381,13 @@ def dit_forward(
         return out, out
 
     body_fn = jax.checkpoint(body) if cfg.remat else body
-    x, feats = lax.scan(body_fn, x, (p["blocks"], mods), unroll=cfg.scan_unroll)
+    # same xs pruning as the cached/cond-encode paths: the body reads only
+    # attn + ff — the stacked adaLN modulation weights were consumed by
+    # _all_block_modulations above and would otherwise ride the scan as
+    # dead cargo (relying on XLA DCE, which the cached path measured as
+    # incomplete)
+    blocks_xs = {k: v for k, v in p["blocks"].items() if k != "attn_norm"}
+    x, feats = lax.scan(body_fn, x, (blocks_xs, mods), unroll=cfg.scan_unroll)
     x = _adaln_final(p["norm_out"], x, emb)
     return x, feats.transpose(1, 0, 2, 3)
 

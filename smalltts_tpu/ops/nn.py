@@ -141,9 +141,17 @@ def batchnorm(p, x: jax.Array, train: bool, mask: Optional[jax.Array] = None,
         else:
             mean = xf.mean(axis=(0, 1))
             var = xf.var(axis=(0, 1))
+        if mask is not None:
+            n = count
+        else:
+            n = jnp.asarray(xf.shape[0] * xf.shape[1], jnp.float32)
+        # torch BatchNorm1d semantics (the parity target for the conformer/
+        # ECAPA stacks): normalize with the BIASED batch variance but track
+        # running stats with the UNBIASED estimate (review r3)
+        var_unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
         new_p = dict(p)
         new_p["mean"] = (1 - momentum) * p["mean"] + momentum * mean
-        new_p["var"] = (1 - momentum) * p["var"] + momentum * var
+        new_p["var"] = (1 - momentum) * p["var"] + momentum * var_unbiased
     else:
         mean, var = p["mean"], p["var"]
         new_p = p
@@ -154,14 +162,26 @@ def batchnorm(p, x: jax.Array, train: bool, mask: Optional[jax.Array] = None,
 
 
 def groupnorm(scale: jax.Array, bias: jax.Array, x: jax.Array, num_groups: int = 1,
-              eps: float = 1e-5) -> jax.Array:
+              eps: float = 1e-5, mask: Optional[jax.Array] = None) -> jax.Array:
     """Channel-last GroupNorm over (B, T, C) — per-sample, per-timestep groups
     of channels (torch GroupNorm semantics on (B, C, T) normalizes over C,T;
-    here we normalize over T and the group's channels)."""
+    here we normalize over T and the group's channels).
+
+    `mask` (B, T) bool restricts the statistics to valid frames: without it
+    the mean/var dilute with padded zeros, so valid positions' outputs
+    depend on the padding bucket size (review r3 — this is what torch
+    GroupNorm does, hence mask=None for weight-exact parity and mask set on
+    the pad_invariant serving/training path)."""
     b, t, c = x.shape
     xf = x.astype(jnp.float32).reshape(b, t, num_groups, c // num_groups)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = xf.var(axis=(1, 3), keepdims=True)
+    if mask is not None:
+        m = mask.astype(jnp.float32)[:, :, None, None]
+        count = jnp.maximum(m.sum(axis=1, keepdims=True) * xf.shape[-1], 1.0)
+        mean = (xf * m).sum(axis=(1, 3), keepdims=True) / count
+        var = (((xf - mean) ** 2) * m).sum(axis=(1, 3), keepdims=True) / count
+    else:
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        var = xf.var(axis=(1, 3), keepdims=True)
     xf = (xf - mean) * lax.rsqrt(var + eps)
     xf = xf.reshape(b, t, c)
     return (xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)

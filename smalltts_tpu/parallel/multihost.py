@@ -43,6 +43,25 @@ def initialize_from_env() -> dict:
     """
     coord = os.environ.get("SMALLTTS_COORDINATOR")
     if coord is None:
+        # Cloud TPU pod path (the docstring's "auto-discovers with no
+        # arguments"): when the runtime's own pod env vars are present,
+        # argless initialize() resolves coordinator/rank itself. Without
+        # this call every pod host would see only LOCAL devices and run N
+        # independent jobs racing each other's checkpoints (review r3).
+        # careful markers: single-host TPU runtimes also set
+        # TPU_WORKER_HOSTNAMES (to one host), so require MULTIPLE workers
+        # or an explicit multislice coordinator
+        multi_worker = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS") or multi_worker:
+            jax.distributed.initialize()
+            return {
+                "distributed": True,
+                "coordinator": "auto (Cloud TPU pod env)",
+                "process_id": jax.process_index(),
+                "num_processes": jax.process_count(),
+                "local_devices": len(jax.local_devices()),
+                "global_devices": len(jax.devices()),
+            }
         return {
             "distributed": False,
             "process_id": 0,

@@ -184,15 +184,24 @@ class AsyncCheckpointer:
         self._q.put((save_train_state, (path, self._snapshot(state))))
 
     def wait(self) -> None:
-        """Block until all queued saves hit disk; re-raise the first error."""
+        """Block until all queued saves hit disk; re-raise the first error
+        recorded SINCE the last wait (errors are consumed — a trainer that
+        catches a transient failure and retries gets a clean wait after a
+        later successful save; review r3)."""
         self._q.join()
         if self._errors:
-            raise self._errors[0]
+            errors, self._errors = self._errors, []
+            raise errors[0]
 
     def close(self) -> None:
-        self.wait()
-        self._q.put(None)
-        self._thread.join(timeout=10)
+        """Flush and shut the worker down — ALWAYS, even when the flush
+        re-raises a save error (the sentinel must reach the worker or the
+        thread leaks and the final join never completes; review r3)."""
+        try:
+            self.wait()
+        finally:
+            self._q.put(None)
+            self._thread.join(timeout=10)
 
 
 def cast_floating(tree, dtype):

@@ -117,3 +117,23 @@ def test_trainable_mask_excludes_bn_stats():
     for path, v in flat_p:
         name = str(getattr(path[-1], "key", ""))
         assert v == (name not in ("mean", "var"))
+
+
+def test_conformer_groupnorm_padding_invariance():
+    """use_group_norm + pad_invariant: valid frames' outputs must not
+    depend on how much padding the bucket added (review r3 — groupnorm
+    statistics over the full time axis diluted with padded zeros, so the
+    discriminator's logits varied with bucket size for identical
+    content)."""
+    from smalltts_tpu.models.conformer import conformer, init_conformer
+    from smalltts_tpu.ops.masking import length_mask
+
+    cfg = ConformerConfig(input_dim=16, num_heads=2, ffn_dim=32, num_layers=2,
+                          depthwise_conv_kernel_size=7, use_group_norm=True)
+    params = init_conformer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 16))
+    y1, _ = conformer(params, cfg, x, length_mask(jnp.array([12]), 12))
+    x_pad = jnp.concatenate([x, jnp.zeros((1, 9, 16))], axis=1)
+    y2, _ = conformer(params, cfg, x_pad, length_mask(jnp.array([12]), 21))
+    np.testing.assert_allclose(np.asarray(y1[0, :12]), np.asarray(y2[0, :12]),
+                               atol=1e-5)

@@ -116,3 +116,35 @@ def test_async_checkpointer_surfaces_errors(tmp_path):
     saver.save_pytree("/proc/definitely/not/writable/x.npz", {"a": jnp.ones(2)})
     with pytest.raises(Exception):
         saver.wait()
+
+
+def test_async_checkpointer_errors_clear_and_close_shuts_down(tmp_path):
+    """wait() consumes recorded errors (a retried save must get a clean
+    wait later), and close() delivers the shutdown sentinel even when the
+    flush re-raises (review r3: a stale error poisoned every later wait,
+    and close() leaked the worker thread)."""
+    import pytest
+
+    from smalltts_tpu.utils.checkpoint import AsyncCheckpointer
+
+    saver = AsyncCheckpointer()
+    # a path UNDER an existing file: os.makedirs fails (save_pytree
+    # auto-creates missing directories, so a merely-absent dir won't)
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    bad_dir = blocker / "nested"
+    saver.save_pytree(str(bad_dir / "x.npz"), {"a": np.zeros(2)})
+    with pytest.raises(Exception):
+        saver.wait()
+    # error consumed: a later good save yields a clean wait
+    good = tmp_path / "ok.npz"
+    saver.save_pytree(str(good), {"a": np.ones(3)})
+    saver.wait()
+    assert good.exists()
+    # close() after a failure still shuts the worker down
+    saver.save_pytree(str(blocker / "deep" / "y.npz"), {"a": np.zeros(1)})
+    with pytest.raises(Exception):
+        saver.close()
+    assert not saver._thread.is_alive() or saver._q.qsize() == 0
+    saver._thread.join(timeout=5)
+    assert not saver._thread.is_alive()

@@ -119,3 +119,40 @@ def test_loader_feeds_teacher_training(tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
     assert params is not None
+
+
+def test_scan_corpus_ljspeech_three_field_metadata(tmp_path):
+    """Real LJSpeech metadata is id|raw|normalized: the transcript must be
+    the normalized field alone, never 'raw|normalized' (review r3 — a
+    partition('|') fed the stray delimiter and doubled text into the
+    phonemizer)."""
+    import os
+
+    root = str(tmp_path / "lj")
+    os.makedirs(root)
+    _write_corpus(root, 1, with_metadata=False)  # provides clip0.wav
+    os.remove(os.path.join(root, "clip0.txt"))
+    open(os.path.join(root, "metadata.csv"), "w").write(
+        "clip0|Dr. Smith said 1 thing.|Doctor Smith said one thing.\n")
+    pairs = scan_corpus(root)
+    assert pairs[0][1] == "Doctor Smith said one thing."
+    assert pairs[0][0].endswith("clip0.wav")
+    # 2-field lines keep working, and an empty normalized field falls back
+    open(os.path.join(root, "metadata.csv"), "w").write(
+        "clip0|only text here\n")
+    assert scan_corpus(root)[0][1] == "only text here"
+    open(os.path.join(root, "metadata.csv"), "w").write(
+        "clip0|raw only|\n")
+    assert scan_corpus(root)[0][1] == "raw only"
+
+
+def test_batch_texts_are_transcript_strings(tmp_path):
+    """The documented drop-in contract with data/dummy.py: batch['texts']
+    carries the transcript STRINGS (review r3 — it carried utterance
+    indices)."""
+    root = str(tmp_path / "c")
+    _write_corpus(root, 2, with_metadata=True)
+    ds = LocalDataset(root, fake_encode, CFG)
+    batch = ds.sample_batch(np.random.default_rng(0))
+    assert all(isinstance(t, str) and t.startswith("hello clip") for t in
+               batch["texts"])

@@ -91,3 +91,24 @@ def test_dryrun_multihost_end_to_end():
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     assert result["ok"] is True
     assert result["rel_diff"] < 2e-4
+
+
+def test_pod_env_triggers_argless_initialize(monkeypatch):
+    """The docstring's Cloud-TPU-pod path must actually CALL
+    jax.distributed.initialize() when pod env vars are present (review r3:
+    it silently fell back to single-process, running N independent jobs on
+    a pod that race each other's checkpoints)."""
+    from smalltts_tpu.parallel import multihost
+
+    monkeypatch.delenv("SMALLTTS_COORDINATOR", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    calls = []
+
+    def fake_init(*a, **kw):
+        calls.append((a, kw))
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    info = multihost.initialize_from_env()
+    assert calls == [((), {})], "argless jax.distributed.initialize expected"
+    assert info["distributed"] is True
+    assert info["coordinator"].startswith("auto")
