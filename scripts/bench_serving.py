@@ -37,15 +37,9 @@ def make_wav(seconds: float, freq: float = 440.0, sr: int = 24_000) -> bytes:
 
 
 def multipart(wav: bytes, text: str, boundary: str = "XB") -> tuple[bytes, str]:
-    body = (
-        f"--{boundary}\r\n"
-        'Content-Disposition: form-data; name="audio"\r\n\r\n'
-    ).encode() + wav + (
-        f"\r\n--{boundary}\r\n"
-        'Content-Disposition: form-data; name="text"\r\n\r\n'
-        f"{text}\r\n--{boundary}--\r\n"
-    ).encode()
-    return body, f"multipart/form-data; boundary={boundary}"
+    from smalltts_tpu.serving.multipart import build_multipart
+
+    return build_multipart({"audio": wav, "text": text}, boundary=boundary)
 
 
 def main() -> None:

@@ -30,29 +30,19 @@ def make_ref_wav() -> bytes:
     return encode_wav(0.4 * np.sin(2 * np.pi * 220 * t), 24_000)
 
 
-def multipart(fields: dict) -> tuple[bytes, str]:
-    boundary = uuid.uuid4().hex
-    parts = []
-    for name, (content, ctype) in fields.items():
-        head = f'--{boundary}\r\nContent-Disposition: form-data; name="{name}"'
-        if ctype:
-            head += f'\r\nContent-Type: {ctype}'
-        parts.append(head.encode() + b"\r\n\r\n" + content + b"\r\n")
-    return b"".join(parts) + f"--{boundary}--\r\n".encode(), boundary
-
-
 def main() -> None:
+    from smalltts_tpu.serving.multipart import build_multipart
+
     server = os.environ.get("SERVER_URL", "http://localhost:3000")
     text = os.environ.get("TEXT", "Hello from the x402 smoke test.")
     duration = os.environ.get("DURATION", "3.0")
     ref_path = os.environ.get("REF_WAV")
 
     audio = open(ref_path, "rb").read() if ref_path else make_ref_wav()
-    body, boundary = multipart(
-        {"audio": (audio, "audio/wav"), "text": (text.encode(), None)}
-    )
+    body, ctype = build_multipart({"audio": audio, "text": text},
+                                  boundary=uuid.uuid4().hex)
     url = f"{server}/synthesize?duration={duration}"
-    headers = {"content-type": f"multipart/form-data; boundary={boundary}"}
+    headers = {"content-type": ctype}
 
     req = urllib.request.Request(url, data=body, headers=headers)
     try:

@@ -341,7 +341,9 @@ class TTSServer:
         extra_headers = []
         if self.gate.settles:
             # capture-after-serve (reference x402-axum order: verify ->
-            # handler -> settle; failed capture returns 402, main.rs:60-79)
+            # handler -> settle; failed capture returns 402, main.rs:60-79).
+            # Local mode settles the same way: check() verified without side
+            # effects, settle() burns the nonce + archives the authorization.
             receipt = await loop.run_in_executor(
                 self._pool, self.gate.settle, headers.get("x-payment", ""), duration
             )
@@ -353,12 +355,6 @@ class TTSServer:
                     b"payment settlement failed",
                 )
             extra_headers.append(("x-payment-response", receipt))
-        elif self.gate.cfg.mode == "local" and headers.get("x-payment"):
-            # local mode verified in-process; the stub receipt acknowledges
-            # the authorization was accepted (settlement deferred to the
-            # operator's capture file)
-            extra_headers.append(
-                ("x-payment-response", self.gate.settle("", duration)))
 
         wav = self.audio.encode_wav(audio.reshape(-1), 24_000)
         return (
@@ -393,6 +389,9 @@ class TTSServer:
 
         extra_headers = []
         if self.gate.settles:
+            # streams settle BEFORE the body (a mid-stream 402 is impossible
+            # over chunked transfer); in local mode this burns the nonce at
+            # stream start — the unavoidable cost of pay-then-stream
             receipt = await loop.run_in_executor(
                 self._pool, self.gate.settle, headers.get("x-payment", ""), duration
             )
@@ -401,11 +400,6 @@ class TTSServer:
                 return (402, [("payment-required", challenge), *CORS_HEADERS],
                         b"payment settlement failed")
             extra_headers.append(("x-payment-response", receipt))
-        elif self.gate.cfg.mode == "local" and headers.get("x-payment"):
-            # same stub receipt the non-stream endpoint returns — paying
-            # clients get the acknowledgment header on both endpoints
-            extra_headers.append(
-                ("x-payment-response", self.gate.settle("", duration)))
 
         sr = 24_000
         fade = int(sr * 20 / 1e3)

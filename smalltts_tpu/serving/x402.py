@@ -179,10 +179,20 @@ class X402Gate:
             self.cfg.usdc_name, self.cfg.usdc_version,
             int(self.cfg.network.split(":")[1]), self.cfg.asset, authorization)
 
-    def verify_local(self, payment_b64: str, duration_sec: float) -> bool:
+    def verify_local(self, payment_b64: str, duration_sec: float,
+                     burn: bool = False) -> bool:
         """In-process EIP-3009 verification (no facilitator). Fail-closed:
         any malformed envelope, bad signature, wrong recipient/value/window,
-        or replayed nonce denies the request."""
+        or replayed nonce denies the request.
+
+        `burn=False` (the check() path) only VERIFIES — no side effects, so
+        a request that later fails (queue full, inference error) neither
+        consumes the nonce nor lands in the capture file; the client can
+        retry with the same signed payment. `burn=True` (the settle() path,
+        after successful synthesis) marks the nonce seen and archives the
+        authorization for on-chain capture — the verify -> serve -> settle
+        order the facilitator mode already follows (review r3: burning at
+        check time charged clients for 503s)."""
         from smalltts_tpu.serving import eth
 
         try:
@@ -213,12 +223,13 @@ class X402Gate:
             with self._nonce_lock:
                 if nonce in self._seen_nonces:
                     return False
-                self._seen_nonces[nonce] = None
-                while len(self._seen_nonces) > _NONCE_CAP:
-                    self._seen_nonces.popitem(last=False)
+                if burn:
+                    self._seen_nonces[nonce] = None
+                    while len(self._seen_nonces) > _NONCE_CAP:
+                        self._seen_nonces.popitem(last=False)
         except Exception:
             return False
-        if self.cfg.capture_path:
+        if burn and self.cfg.capture_path:
             try:
                 with open(self.cfg.capture_path, "a") as fh:
                     fh.write(json.dumps(
@@ -269,7 +280,21 @@ class X402Gate:
         (settle-after-serve, like the reference's x402-axum middleware,
         main.rs:60-79). Returns the base64 X-PAYMENT-RESPONSE header value,
         or None if settlement failed (caller should 402). Trust mode settles
-        nothing and returns a stub receipt."""
+        nothing and returns a stub receipt.
+
+        Local mode settles by re-verifying with burn=True: the nonce is
+        consumed and the authorization archived only now — check() was
+        side-effect-free, so a request that failed between check and settle
+        (queue full, inference error) stays retryable with the same signed
+        payment. Two concurrent requests racing one nonce both pass check;
+        the race resolves here, where the second settle finds the nonce
+        burned and the caller 402s."""
+        if self.cfg.mode == "local":
+            if not self.verify_local(payment_b64, duration_sec, burn=True):
+                return None
+            return base64.b64encode(
+                json.dumps({"success": True, "network": self.cfg.network}).encode()
+            ).decode()
         if self.cfg.mode != "facilitator":
             return base64.b64encode(
                 json.dumps({"success": True, "network": self.cfg.network}).encode()
@@ -281,8 +306,9 @@ class X402Gate:
 
     @property
     def settles(self) -> bool:
-        """Whether successful requests must settle before the response."""
-        return self.cfg.mode == "facilitator"
+        """Whether successful requests must settle before the response
+        (facilitator capture, or local-mode nonce burn + archive)."""
+        return self.cfg.mode in ("facilitator", "local")
 
     def sign_payment(self, priv: int, accept: dict,
                      nonce: Optional[bytes] = None,

@@ -487,3 +487,27 @@ def test_graceful_drain_finishes_inflight_then_rejects():
     status, late_status, late_body = run(scenario())
     assert status == 200, "in-flight request must complete through the drain"
     assert late_status == 503 and late_body == b"draining"
+
+
+def test_multipart_preserves_trailing_crlf_bytes_in_binary_content():
+    """A WAV whose final PCM bytes are 0x0D/0x0A must come through intact —
+    only the single delimiting CRLF is framing (review r3: strip() ate
+    trailing CR/LF content bytes, corrupting ~1/128 of uploads)."""
+    from smalltts_tpu.serving.multipart import build_multipart, parse_multipart
+
+    payload = b"\x00\x01RIFFdata\x00\x0d\x0a"  # ends in CR LF on purpose
+    body, ctype = build_multipart({"audio": payload, "text": "hi"})
+    fields = parse_multipart(body, ctype)
+    assert fields["audio"] == payload
+    assert fields["text"] == b"hi"
+
+    # hand-framed body (the e2e shape used across the tests)
+    raw = (b"--XB\r\n"
+           b'Content-Disposition: form-data; name="audio"\r\n\r\n'
+           + payload +
+           b"\r\n--XB\r\n"
+           b'Content-Disposition: form-data; name="text"\r\n\r\n'
+           b"hello\r\n--XB--\r\n")
+    fields = parse_multipart(raw, 'multipart/form-data; boundary=XB')
+    assert fields["audio"] == payload
+    assert fields["text"] == b"hello"

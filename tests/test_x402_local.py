@@ -32,14 +32,26 @@ def challenge_accept(gate, duration=5.0):
     return json.loads(base64.b64decode(hdr))["accepts"][0]
 
 
-def test_signed_payment_accepted_and_nonce_burned():
+def test_signed_payment_accepted_and_nonce_burned_at_settle():
+    """check() is side-effect-free (a request that 503s between check and
+    settle stays retryable with the same signed payment); settle() burns
+    the nonce, after which both check and a second settle deny (review r3:
+    burning at check time charged clients for 503s)."""
     gate = make_gate()
     payment = gate.sign_payment(PRIV, challenge_accept(gate))
     ok, challenge = gate.check({"x-payment": payment}, 5.0, "/synthesize")
     assert ok and challenge is None
-    # exact replay: denied (EIP-3009 nonce uniqueness)
+    # retry before settle: still allowed — verification had no side effects
+    ok_retry, _ = gate.check({"x-payment": payment}, 5.0, "/synthesize")
+    assert ok_retry
+    # settle-after-serve consumes the nonce
+    assert gate.settles
+    receipt = gate.settle(payment, 5.0)
+    assert json.loads(base64.b64decode(receipt))["success"] is True
+    # exact replay: denied at check AND at settle (EIP-3009 nonce uniqueness)
     ok2, challenge2 = gate.check({"x-payment": payment}, 5.0, "/synthesize")
     assert not ok2 and challenge2
+    assert gate.settle(payment, 5.0) is None
 
 
 def test_replay_under_reencoded_nonce_denied():
@@ -50,8 +62,7 @@ def test_replay_under_reencoded_nonce_denied():
     exploitable before the fix)."""
     gate = make_gate()
     payment = gate.sign_payment(PRIV, challenge_accept(gate))
-    ok, _ = gate.check({"x-payment": payment}, 5.0, "/synthesize")
-    assert ok
+    assert gate.settle(payment, 5.0) is not None  # burns the nonce
 
     env = json.loads(base64.b64decode(payment))
     nonce_hex = env["payload"]["authorization"]["nonce"]
@@ -146,13 +157,16 @@ def test_garbage_payloads_fail_closed():
         assert not ok
 
 
-def test_capture_file_archives_verified_authorizations(tmp_path):
+def test_capture_file_archives_settled_authorizations(tmp_path):
     cap = tmp_path / "auths.jsonl"
     gate = make_gate(capture_path=str(cap))
-    for _ in range(2):
+    for i in range(2):
         payment = gate.sign_payment(PRIV, challenge_accept(gate))
         ok, _ = gate.check({"x-payment": payment}, 5.0, "/synthesize")
         assert ok
+        # check() never archives — only settle() does
+        assert not cap.exists() or len(cap.read_text().splitlines()) == i
+        assert gate.settle(payment, 5.0) is not None
     lines = [json.loads(l) for l in cap.read_text().splitlines()]
     assert len(lines) == 2
     for rec in lines:
@@ -176,17 +190,21 @@ def test_nonce_set_is_bounded():
         for i in range(8):
             payment = gate.sign_payment(PRIV, accept,
                                         nonce=i.to_bytes(32, "big"))
-            ok, _ = gate.check({"x-payment": payment}, 5.0, "/synthesize")
-            assert ok
+            assert gate.settle(payment, 5.0) is not None
         assert len(gate._seen_nonces) == 4
     finally:
         x402_mod._NONCE_CAP = old_cap
 
 
-def test_local_mode_settle_returns_stub_receipt():
+def test_local_mode_settle_verifies_and_fails_closed():
+    """Local mode settles (burn + archive happen there), and settle is a
+    full re-verification: garbage or tampered payments return None so the
+    caller 402s even after synthesis."""
     gate = make_gate()
-    assert not gate.settles
-    receipt = json.loads(base64.b64decode(gate.settle("x", 1.0)))
+    assert gate.settles
+    assert gate.settle("x", 1.0) is None  # not a valid envelope
+    payment = gate.sign_payment(PRIV, challenge_accept(gate))
+    receipt = json.loads(base64.b64decode(gate.settle(payment, 5.0)))
     assert receipt["success"] is True
 
 
