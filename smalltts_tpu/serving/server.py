@@ -77,7 +77,16 @@ class TTSServer:
         max_batch: int = 8,
         read_timeout_s: float = READ_TIMEOUT_S,
         ref_cache_size: int = 64,
+        static_dir: Optional[str] = None,
     ) -> None:
+        # optional single-binary deployment: serve the web client (GET / ->
+        # index.html, plus /samples/*) from the same origin as the API, so
+        # the page needs no SMALLTTS_API configuration and no CORS. The
+        # reference deploys its React app separately (src/website); serving
+        # the static page here is the no-bundler equivalent.
+        import os
+
+        self.static_dir = os.path.realpath(static_dir) if static_dir else None
         self._tts = tts
         self.read_timeout_s = read_timeout_s
         # dedicated pool for host-side request work (phonemize, reference
@@ -248,7 +257,36 @@ class TTSServer:
             return await self._synthesize(query, headers, body)
         if method == "POST" and path == "/synthesize/stream":
             return await self._synthesize(query, headers, body, stream=True)
+        if method == "GET" and self.static_dir is not None:
+            return self._serve_static(path)
         return 404, list(CORS_HEADERS), b"not found"
+
+    _STATIC_TYPES = {".html": "text/html; charset=utf-8",
+                     ".json": "application/json", ".wav": "audio/wav",
+                     ".js": "text/javascript", ".css": "text/css",
+                     ".ico": "image/x-icon"}
+
+    def _serve_static(self, path: str):
+        """GET fallback when `static_dir` is configured: / -> index.html,
+        anything else resolved under static_dir with realpath containment
+        (symlinks and ../ cannot escape the directory)."""
+        import os
+
+        rel = "index.html" if path in ("/", "") else path.lstrip("/")
+        full = os.path.realpath(os.path.join(self.static_dir, rel))
+        if full != self.static_dir and not full.startswith(
+                self.static_dir + os.sep):
+            return 404, list(CORS_HEADERS), b"not found"
+        if not os.path.isfile(full):
+            return 404, list(CORS_HEADERS), b"not found"
+        try:
+            with open(full, "rb") as fh:
+                data = fh.read()
+        except OSError:
+            return 404, list(CORS_HEADERS), b"not found"
+        ctype = self._STATIC_TYPES.get(
+            os.path.splitext(full)[1].lower(), "application/octet-stream")
+        return 200, [("content-type", ctype), *CORS_HEADERS], data
 
     async def _synthesize(self, query, headers, body, stream: bool = False):
         """`stream=True` (POST /synthesize/stream): long texts chunk at
@@ -653,6 +691,10 @@ def main() -> None:
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--compile-cache", default="~/.cache/smalltts_tpu/xla",
                     help="persistent XLA compilation cache dir ('' disables)")
+    ap.add_argument("--static", default=None, metavar="DIR",
+                    help="serve a static web client from DIR at GET / "
+                         "(e.g. website/); same-origin, so the page needs "
+                         "no API configuration")
     args = ap.parse_args()
 
     if args.compile_cache:
@@ -670,7 +712,7 @@ def main() -> None:
             n = tts.warmup(batch_sizes=(1, args.max_batch), progress=True)
             print(f"warmed {n} executables; in-contract requests never compile")
     srv = TTSServer(tts=tts, x402_cfg=X402Config(mode=args.payments),
-                    max_batch=args.max_batch)
+                    max_batch=args.max_batch, static_dir=args.static)
     if tts is not None:
         srv._ensure_pipeline()  # warmed servers report /ready immediately
     asyncio.run(srv.run(args.host, args.port))

@@ -511,3 +511,31 @@ def test_multipart_preserves_trailing_crlf_bytes_in_binary_content():
     fields = parse_multipart(raw, 'multipart/form-data; boundary=XB')
     assert fields["audio"] == payload
     assert fields["text"] == b"hello"
+
+
+def test_static_serving_index_samples_and_traversal(tmp_path):
+    """With static_dir set, GET / serves index.html same-origin (the web
+    client then needs no SMALLTTS_API config); /samples/* serves assets;
+    ../ and symlink escapes 404; without static_dir GET / stays 404."""
+    (tmp_path / "index.html").write_text("<html>client</html>")
+    (tmp_path / "samples").mkdir()
+    (tmp_path / "samples" / "index.json").write_text('{"samples": []}')
+    (tmp_path / ".." / "secret.txt").write_text("nope")
+
+    server = TTSServer(tts=object(), x402_cfg=X402Config(mode="disabled"),
+                       static_dir=str(tmp_path))
+    st, hdrs, body = run(server.handle("GET", "/", {}, {}, b""))
+    assert st == 200 and body == b"<html>client</html>"
+    assert ("content-type", "text/html; charset=utf-8") in hdrs
+
+    st, hdrs, body = run(server.handle("GET", "/samples/index.json", {}, {}, b""))
+    assert st == 200 and json.loads(body) == {"samples": []}
+    assert ("content-type", "application/json") in hdrs
+
+    for evil in ("/../secret.txt", "/samples/../../secret.txt", "/nope.html"):
+        st, _, _ = run(server.handle("GET", evil, {}, {}, b""))
+        assert st == 404, evil
+
+    bare = TTSServer(tts=object(), x402_cfg=X402Config(mode="disabled"))
+    st, _, _ = run(bare.handle("GET", "/", {}, {}, b""))
+    assert st == 404
