@@ -2,10 +2,12 @@
 
 Capability parity with the reference client (reference:
 src/server/src/bin/test_x402.rs:8-122): reads SERVER_URL / TEXT / DURATION /
-REF_WAV from env, POSTs multipart audio+text, handles the 402 challenge, and
-writes the returned wav. EIP-155 payment signing requires a wallet key and
-network egress; against `--payments trust` servers the echo payment is
-accepted, which is what this smoke test exercises hermetically.
+REF_WAV / PRIVATE_KEY from env, POSTs multipart audio+text, handles the 402
+challenge, and writes the returned wav. With PRIVATE_KEY set (hex, like the
+reference's wallet key, test_x402.rs:59) the client signs a real EIP-3009
+TransferWithAuthorization — accepted by `--payments local` servers in-process
+and by facilitator deployments on-chain. Without it, an unsigned echo
+envelope is sent, which only `--payments trust` servers accept.
 """
 
 from __future__ import annotations
@@ -56,12 +58,22 @@ def main() -> None:
             f"402: {accept['maxAmountRequired']} units to {accept['payTo']} "
             f"on {accept['network']}"
         )
-        # echo a payment envelope (accepted by trust-mode servers; real
-        # deployments verify an EIP-712 signature via the facilitator)
-        payment = base64.b64encode(
-            json.dumps({"x402Version": 1, "scheme": accept["scheme"],
-                        "network": accept["network"], "payload": {}}).encode()
-        ).decode()
+        priv = os.environ.get("PRIVATE_KEY")
+        if priv:
+            # sign a real EIP-3009 authorization with the wallet key, the
+            # same flow as the reference client (test_x402.rs:59-89)
+            from smalltts_tpu.serving.x402 import X402Config, X402Gate
+
+            signer = X402Gate(X402Config(mode="local"))
+            payment = signer.sign_payment(int(priv, 16), accept)
+            print(f"signed EIP-3009 payment from key in PRIVATE_KEY")
+        else:
+            # echo a payment envelope (accepted by trust-mode servers; real
+            # deployments verify an EIP-712 signature via the facilitator)
+            payment = base64.b64encode(
+                json.dumps({"x402Version": 1, "scheme": accept["scheme"],
+                            "network": accept["network"], "payload": {}}).encode()
+            ).decode()
         req = urllib.request.Request(
             url, data=body, headers={**headers, "x-payment": payment}
         )
