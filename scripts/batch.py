@@ -39,10 +39,9 @@ def main() -> None:
     with open(args.manifest) as f:
         manifest = json.load(f)
 
-    from smalltts_tpu import native
-    from smalltts_tpu.serving import audio_io
+    from smalltts_tpu.serving.audio_io import backend as audio_backend
 
-    backend = native if native.lib() is not None else audio_io
+    backend = audio_backend()
 
     tts = SmallTTS(checkpoint=args.checkpoint)
     batcher = Batcher(tts)

@@ -167,6 +167,7 @@ def main() -> None:
         loop = asyncio.get_running_loop()
         await loop.run_in_executor(pool, client, 0, 2)  # warm serving path
         lat.clear()
+        ttfb.clear()  # cold-path warm-up samples would inflate TTFB p95
 
         def rss_mb() -> float:
             with open("/proc/self/status") as f:

@@ -344,9 +344,9 @@ def stage_tryme(ctx) -> dict:
         raise AssertionError(f"tryme.py failed rc={proc.returncode}: "
                              f"{proc.stderr[-500:]}")
     assert os.path.isfile(out_wav), "out/tryme.wav not written"
-    from smalltts_tpu.serving.audio_io import decode_and_resample
+    from smalltts_tpu.serving.audio_io import backend
 
-    wav = decode_and_resample(open(out_wav, "rb").read(), SR)
+    wav = backend().decode_and_resample(open(out_wav, "rb").read(), SR)
     rms = float(np.sqrt(np.mean(np.square(wav))))
     assert np.isfinite(wav).all() and rms > 1e-4, f"silent tryme output ({rms:.2e})"
     return {"wav": out_wav, "seconds": round(len(wav) / SR, 2),

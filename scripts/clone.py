@@ -32,10 +32,9 @@ def main() -> None:
     from smalltts_tpu.text import get_token_ids
 
     def load_audio(path):
-        from smalltts_tpu import native
-        from smalltts_tpu.serving import audio_io
+        from smalltts_tpu.serving.audio_io import backend as audio_backend
 
-        backend = native if native.lib() is not None else audio_io
+        backend = audio_backend()
         with open(path, "rb") as f:
             return backend.decode_and_resample(f.read(), 24_000)
 

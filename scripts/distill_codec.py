@@ -31,11 +31,31 @@ def wav_dir_iter(path: str, batch_size: int, samples: int, seed: int = 0):
     if not files:
         raise SystemExit(f"no .wav files under {path}")
     rng = np.random.RandomState(seed)
-    clips = [audio_io.decode_and_resample(open(f, "rb").read(), 24_000) for f in files]
+    # decode lazily with a bounded LRU: eagerly decoding a real corpus to
+    # fp32 up front is O(corpus) resident memory (50 h ≈ 17 GB) — the
+    # trainer would OOM before step 1. The cache keeps batches hot once the
+    # sampler revisits clips.
+    from collections import OrderedDict
+
+    cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+    cache_cap = 256
+
+    def get_clip(idx: int) -> np.ndarray:
+        clip = cache.get(idx)
+        if clip is None:
+            clip = audio_io.decode_and_resample(
+                open(files[idx], "rb").read(), 24_000)
+            cache[idx] = clip
+            while len(cache) > cache_cap:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(idx)
+        return clip
+
     while True:
         batch = []
         for _ in range(batch_size):
-            clip = clips[rng.randint(len(clips))]
+            clip = get_clip(rng.randint(len(files)))
             if len(clip) < samples:
                 clip = np.pad(clip, (0, samples - len(clip)))
             start = rng.randint(max(len(clip) - samples, 0) + 1)

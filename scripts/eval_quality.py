@@ -33,9 +33,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _load_wav(path: str):
-    from smalltts_tpu.serving import audio_io
+    from smalltts_tpu.serving.audio_io import backend
 
-    return audio_io.decode_and_resample(open(path, "rb").read(), 24_000)
+    return backend().decode_and_resample(open(path, "rb").read(), 24_000)
 
 
 def _sine(seconds=2.0, sr=24_000, freq=220.0):

@@ -32,10 +32,9 @@ def main() -> None:
 
     tts = SmallTTS(checkpoint=args.checkpoint)
     if args.wav:
-        from smalltts_tpu import native
-        from smalltts_tpu.serving import audio_io
+        from smalltts_tpu.serving.audio_io import backend as audio_backend
 
-        backend = native if native.lib() is not None else audio_io
+        backend = audio_backend()
         with open(args.wav, "rb") as f:
             ref_latents = tts.encode_reference(
                 backend.decode_and_resample(f.read(), 24_000)

@@ -34,7 +34,10 @@ def lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) and not _build():
+    # always run make: it's incremental (~ms when fresh) and rebuilds a
+    # stale .so after audio.cc edits — an existing .so alone proved nothing
+    # about freshness. A failed build (no g++) still uses a prebuilt .so.
+    if not _build() and not os.path.exists(_SO):
         return None
     try:
         l = ctypes.CDLL(_SO)

@@ -25,6 +25,20 @@ ROLLOFF = 0.94
 LOWPASS_WIDTH = 64
 
 
+def backend():
+    """The ONE chooser between the native C++ audio lib and this module —
+    every consumer (server, CLIs, benches) routes through here so the same
+    wav always decodes via the same code path (review r3: three scripts
+    had copy-pasted the fallback while two others skipped native)."""
+    from smalltts_tpu import native
+
+    if native.lib() is not None:
+        return native
+    import smalltts_tpu.serving.audio_io as audio_io
+
+    return audio_io
+
+
 def decode_wav(data: bytes) -> Tuple[np.ndarray, int]:
     """WAV bytes -> (float32 samples (channels, T) in [-1,1], sample_rate)."""
     f = io.BytesIO(data)

@@ -308,7 +308,12 @@ def _encode_value(ftype: str, value, types: dict) -> bytes:
     if ftype == "bool":
         return (1 if value else 0).to_bytes(32, "big")
     if ftype.startswith("uint") or ftype.startswith("int"):
-        return (int(str(value), 0) % (1 << 256)).to_bytes(32, "big")
+        # NOT base 0: a spec-valid decimal string with a leading zero
+        # ("0100") raises in base 0, and "0b1"/"0o7" would misparse —
+        # typed-data integers are decimal unless 0x-prefixed
+        s = str(value)
+        num = int(s, 16) if s.startswith(("0x", "0X")) else int(s)
+        return (num % (1 << 256)).to_bytes(32, "big")
     if ftype.startswith("bytes"):  # bytesN, right-padded
         raw = _hexbytes(value)
         if len(raw) > 32:

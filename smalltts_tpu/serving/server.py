@@ -43,13 +43,9 @@ CORS_HEADERS = [
 
 def _audio_backend():
     """Native C++ audio lib when built, numpy fallback otherwise."""
-    from smalltts_tpu import native
+    from smalltts_tpu.serving.audio_io import backend
 
-    if native.lib() is not None:
-        return native
-    from smalltts_tpu.serving import audio_io
-
-    return audio_io
+    return backend()
 
 
 @dataclass

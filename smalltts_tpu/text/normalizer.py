@@ -44,6 +44,10 @@ _ABBREVIATIONS = [
 
 class EnglishTextNormalizer:
     def __init__(self) -> None:
+        # \b%s\b with NO trailing dot, exactly like the reference
+        # (normalizer.py:17): bare "ft" expands to "fort" and "Dr." keeps
+        # its period — quirky, but parity-pinned; do not "fix" to \b%s\.
+        # (the unused _whitespace_re below is likewise reference-mirrored)
         self._abbreviations = [
             (re.compile(r"\b%s\b" % abbr, re.IGNORECASE), replacement)
             for abbr, replacement in _ABBREVIATIONS

@@ -16,7 +16,9 @@ _TENS = [
     "", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
     "eighty", "ninety",
 ]
-_SCALES = ["", "thousand", "million", "billion", "trillion", "quadrillion"]
+_SCALES = ["", "thousand", "million", "billion", "trillion", "quadrillion",
+           "quintillion", "sextillion", "septillion", "octillion",
+           "nonillion", "decillion"]
 
 _ORDINAL_MAP = {
     "one": "first", "two": "second", "three": "third", "five": "fifth",
@@ -42,14 +44,20 @@ def _under_1000(n: int) -> str:
 
 
 def number_to_words(n: int) -> str:
-    """Cardinal spelling without 'and' (inflect andword='' behavior)."""
+    """Cardinal spelling without 'and' (inflect andword='' behavior).
+
+    Beyond the named scales (decillion = 1e33) the number is read digit by
+    digit — unlike a silent truncation, every digit reaches the listener
+    (review r3: 1e18 used to spell as '' when the scale table ran out)."""
     if n < 0:
         return "minus " + number_to_words(-n)
     if n == 0:
         return "zero"
+    if n >= 1000 ** len(_SCALES):
+        return " ".join(_ONES[int(d)] for d in str(n))
     chunks = []
     i = 0
-    while n > 0 and i < len(_SCALES):
+    while n > 0:
         n, chunk = divmod(n, 1000)
         if chunk:
             word = _under_1000(chunk)

@@ -107,7 +107,7 @@ _backend_name: Optional[str] = None
 # espeak-ng keeps global C state (espeak_Initialize / SetVoiceByName are not
 # thread-safe); construction must be serialized — threaded callers (corpus
 # prep pool, server executor) otherwise race the lazy init
-_backend_lock = __import__("threading").Lock()
+_backend_lock = threading.Lock()
 
 
 def set_backend(name: str) -> None:

@@ -158,3 +158,19 @@ def test_bytes32_and_bool_and_bytes_encoding():
     priv = 5
     sig = eth.sign_typed_data(priv, typed)
     assert eth.recover_typed_data(typed, sig) == eth.address_from_priv(priv)
+
+
+def test_uint_encoding_accepts_leading_zero_decimal_strings():
+    """Typed-data integers are decimal unless 0x-prefixed: '0100' is a
+    spec-valid spelling of 100 (int(s, 0) raised on it, so a correctly
+    signed payment carrying it was denied — review r3)."""
+    from smalltts_tpu.serving.eth import _encode_value
+
+    assert _encode_value("uint256", "0100", {}) == (100).to_bytes(32, "big")
+    assert _encode_value("uint256", "0x100", {}) == (256).to_bytes(32, "big")
+    assert _encode_value("uint256", 7, {}) == (7).to_bytes(32, "big")
+    # "0b1"/"0o7" are not integer spellings in EIP-712 — decimal parse fails
+    import pytest
+
+    with pytest.raises(ValueError):
+        _encode_value("uint256", "0b1", {})

@@ -137,3 +137,14 @@ def test_merge_transcript_orders_by_time():
         {"start": 1.5, "label": "sigh", "prob": 0.05},       # low prob dropped
     ]
     assert merge_transcript(words, events) == "hello [laughter] world"
+
+
+def test_number_to_words_beyond_named_scales():
+    """1e18+ has named scales through decillion; past that every digit is
+    read aloud (silent truncation spelled 1e18 as '' — review r3)."""
+    assert number_to_words(10**18) == "one quintillion"
+    assert number_to_words(10**33) == "one decillion"
+    big = 10**36 + 5
+    spelled = number_to_words(big)
+    assert spelled.startswith("one zero") and spelled.endswith("five")
+    assert len(spelled.split()) == 37
