@@ -16,9 +16,10 @@ Full per-config detail (all grid cells, stage breakdown) is written to
 out/bench_detail.json.
 
 Env knobs: BENCH_FULL=1 -> full 12-cell reference grid; BENCH_SCALE=1 ->
-extra batch 16/32/64 throughput cells; BENCH_INGRAPH=1 -> in-graph K-repeat
-pure-compute probe (heavy compile); BENCH_STAGES=1 -> in-graph per-stage
-split; JAX_CACHE_DIR -> compilation cache.
+extra batch 16/32/64 throughput cells; BENCH_INGRAPH=0 -> skip the in-graph
+K-repeat pure-compute probe that runs by default (two extra large compiles);
+BENCH_STAGES=1 -> in-graph per-stage split; JAX_CACHE_DIR -> compilation
+cache.
 """
 
 from __future__ import annotations

@@ -122,10 +122,17 @@ def decode_and_resample(data: bytes, target_sr: int = 24_000) -> np.ndarray:
     return resample(to_mono(samples), sr, target_sr)
 
 
+def pcm16(samples: np.ndarray) -> bytes:
+    """Mono float32 -> raw 16-bit little-endian PCM with clamp — the ONE
+    clamp/rint/scale convention; encode_wav and the streaming body both use
+    it (the stream had its own inline copy that could drift, review r3)."""
+    x = np.clip(np.asarray(samples, np.float32).reshape(-1), -1.0, 1.0)
+    return np.rint(x * 32767.0).astype("<i2").tobytes()
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 24_000) -> bytes:
     """Mono float32 -> 16-bit PCM WAV bytes with clamp (audio.rs:22-36)."""
-    x = np.clip(np.asarray(samples, np.float32).reshape(-1), -1.0, 1.0)
-    pcm = np.rint(x * 32767.0).astype("<i2").tobytes()
+    pcm = pcm16(samples)
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(pcm), b"WAVE",

@@ -230,7 +230,18 @@ class Batcher:
                 reqs, self._queue = self._queue, []
             if not reqs:
                 continue
-            for group in group_requests(reqs, self.max_batch):
+            try:
+                groups = group_requests(reqs, self.max_batch)
+            except Exception as exc:
+                # grouping must never kill the dispatch thread: a single
+                # poisoned request (bad duration, future keying bug) would
+                # otherwise strand every queued future AND all later
+                # requests (review r3) — fail this batch, keep serving
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(exc)
+                continue
+            for group in groups:
                 self._execute(group)
 
     def _execute(self, group: List[Request]) -> None:

@@ -36,7 +36,12 @@ def parse_multipart(body: bytes, content_type: str) -> Dict[str, bytes]:
         header_blob, content = blob.split(b"\r\n\r\n", 1)
         name = None
         for line in header_blob.split(b"\r\n"):
-            lm = re.search(rb'content-disposition:.*?name="([^"]+)"', line, re.I)
+            # [;\s] anchor: bare `name=` also matches inside `filename=`,
+            # so a part spelled `filename="clip.wav"; name="audio"` (RFC
+            # 7578 mandates no attribute order) would parse under the wrong
+            # field name without it (review r3)
+            lm = re.search(rb'content-disposition:.*?[;\s]name="([^"]+)"',
+                           line, re.I)
             if lm:
                 name = lm.group(1).decode()
         if name:

@@ -18,10 +18,11 @@ from __future__ import annotations
 
 import asyncio
 import json
+import math
 import threading
 import time
 import urllib.parse
-from collections import OrderedDict
+from collections import OrderedDict, deque
 from dataclasses import dataclass, field
 from typing import Callable, Dict, Optional
 
@@ -54,14 +55,12 @@ class ServerStats:
     rejected: int = 0  # 503s from batcher backpressure
     ref_cache_hits: int = 0
     ref_cache_misses: int = 0
-    synth_ms: "object" = field(
-        default_factory=lambda: __import__("collections").deque(maxlen=STATS_WINDOW)
-    )
+    synth_ms: "deque" = field(
+        default_factory=lambda: deque(maxlen=STATS_WINDOW))
     # time-to-first-audio-chunk for /synthesize/stream — the metric that
     # justifies streaming at all (playback starts after the first sentence)
-    ttfb_ms: "object" = field(
-        default_factory=lambda: __import__("collections").deque(maxlen=STATS_WINDOW)
-    )
+    ttfb_ms: "deque" = field(
+        default_factory=lambda: deque(maxlen=STATS_WINDOW))
 
 
 class TTSServer:
@@ -268,6 +267,10 @@ class TTSServer:
         (symlinks and ../ cannot escape the directory)."""
         import os
 
+        # decode %20 etc. — _serve_conn passes the raw target path, and a
+        # file named "voice sample.wav" is requested as /voice%20sample.wav;
+        # the realpath containment below already defuses decoded ../
+        path = urllib.parse.unquote(path)
         rel = "index.html" if path in ("/", "") else path.lstrip("/")
         full = os.path.realpath(os.path.join(self.static_dir, rel))
         if full != self.static_dir and not full.startswith(
@@ -305,14 +308,25 @@ class TTSServer:
             duration = float(query.get("duration", 1.0))
         except ValueError:
             return 400, list(CORS_HEADERS), b"invalid duration"
+        # float() accepts 'nan'/'inf', which would detonate later on the
+        # batcher dispatch thread (math.ceil(nan) in frames_for_duration)
+        # and strand every queued request — one unauthenticated request
+        # must never brick synthesis (review r3)
+        if not math.isfinite(duration) or duration <= 0:
+            return 400, list(CORS_HEADERS), b"invalid duration"
 
+        # the challenge must name the resource the client actually called: a
+        # facilitator or strict client validates the signed payment against
+        # the request URL, and /synthesize/stream advertising /synthesize is
+        # a mismatch (review r3)
+        resource = "/synthesize/stream" if stream else "/synthesize"
         if self.gate.blocking:
             # facilitator (network) and local (EC math) verification must not
             # stall the event loop
             allowed, challenge = await asyncio.get_running_loop().run_in_executor(
-                self._pool, self.gate.check, headers, duration, "/synthesize")
+                self._pool, self.gate.check, headers, duration, resource)
         else:
-            allowed, challenge = self.gate.check(headers, duration, "/synthesize")
+            allowed, challenge = self.gate.check(headers, duration, resource)
         if not allowed:
             # 402 without body, challenge in the header (e2e.rs:241-253)
             return 402, [("payment-required", challenge), *CORS_HEADERS], b""
@@ -379,8 +393,8 @@ class TTSServer:
             # Local mode settles the same way: check() verified without side
             # effects, settle() burns the nonce + archives the authorization.
             receipt = await loop.run_in_executor(
-                self._pool, self.gate.settle, headers.get("x-payment", ""), duration
-            )
+                self._pool, self.gate.settle, headers.get("x-payment", ""),
+                duration, "/synthesize")
             if receipt is None:
                 _, challenge = self.gate.check({}, duration, "/synthesize")
                 return (
@@ -427,8 +441,8 @@ class TTSServer:
             # over chunked transfer); in local mode this burns the nonce at
             # stream start — the unavoidable cost of pay-then-stream
             receipt = await loop.run_in_executor(
-                self._pool, self.gate.settle, headers.get("x-payment", ""), duration
-            )
+                self._pool, self.gate.settle, headers.get("x-payment", ""),
+                duration, "/synthesize/stream")
             if receipt is None:
                 _, challenge = self.gate.check({}, duration, "/synthesize/stream")
                 return (402, [("payment-required", challenge), *CORS_HEADERS],
@@ -448,9 +462,7 @@ class TTSServer:
                 b"data", 0xFFFFFFFF,
             )
 
-        def pcm(x: "np.ndarray") -> bytes:
-            x = np.clip(np.asarray(x, np.float32).reshape(-1), -1.0, 1.0)
-            return np.rint(x * 32767.0).astype("<i2").tobytes()
+        from smalltts_tpu.serving.audio_io import pcm16 as pcm
 
         # The streaming body keeps running batcher.submit/executor work while
         # being consumed by _respond_chunked, well after _synthesize_inner
@@ -494,7 +506,11 @@ class TTSServer:
                         audio = await asyncio.wrap_future(fut)
                     except QueueFull:
                         self.stats.rejected += 1
-                        return  # truncate stream; client sees early EOF
+                        # propagate: _respond_chunked aborts WITHOUT the
+                        # terminal chunk, so the client's chunked decoder
+                        # raises incomplete-read instead of treating the
+                        # truncated audio as a complete response
+                        raise
                     cur = np.asarray(audio, np.float32).reshape(-1)
                     emit, pending = crossfade_stream_step(pending, cur, fade)
                     if emit is not None:
@@ -557,6 +573,8 @@ class TTSServer:
                     break
                 try:
                     length = int(headers.get("content-length", 0))
+                    if length < 0:  # readexactly(-1) raises uncaught
+                        raise ValueError
                 except ValueError:
                     await self._respond(writer, 400, list(CORS_HEADERS),
                                         b"bad content-length")
@@ -599,12 +617,21 @@ class TTSServer:
         lines.append("\r\n")
         writer.write("\r\n".join(lines).encode())
         await writer.drain()
+        complete = False
         try:
             async for piece in agen:
                 if not piece:
                     continue
                 writer.write(f"{len(piece):x}\r\n".encode() + piece + b"\r\n")
                 await writer.drain()
+            complete = True
+        except Exception:
+            # generator failure (QueueFull, inference error) or client
+            # disconnect: abort the connection WITHOUT the terminal chunk.
+            # The WAV header carries unknown-length sizes, so a terminator
+            # here would present truncated audio as a spec-valid complete
+            # response the client cannot distinguish (review r3).
+            pass
         finally:
             # close the generator NOW (not at GC) so its finally blocks —
             # drain accounting, batcher futures — run before the connection
@@ -613,8 +640,9 @@ class TTSServer:
                 await agen.aclose()
             except Exception:
                 pass
-            writer.write(b"0\r\n\r\n")
-            await writer.drain()
+            if complete:
+                writer.write(b"0\r\n\r\n")
+                await writer.drain()
 
     @staticmethod
     async def _respond(writer, status: int, headers, body: bytes) -> None:

@@ -161,7 +161,7 @@ class X402Gate:
         if self.cfg.mode == "local":
             ok = self.verify_local(payment, duration_sec)
         else:
-            ok = self._verify_with_facilitator(payment, duration_sec)
+            ok = self._verify_with_facilitator(payment, duration_sec, resource)
         if ok:
             return True, None
         return False, self.payment_required_header(duration_sec, resource)
@@ -240,7 +240,8 @@ class X402Gate:
                 pass  # archiving is best-effort; the payment itself verified
         return True
 
-    def _facilitator_body(self, payment_b64: str, duration_sec: float) -> bytes:
+    def _facilitator_body(self, payment_b64: str, duration_sec: float,
+                          resource: str = "/synthesize") -> bytes:
         """The /verify and /settle request body (x402 v1 facilitator API):
         {x402Version, paymentPayload, paymentRequirements}."""
         payload = json.loads(base64.b64decode(payment_b64))
@@ -250,20 +251,22 @@ class X402Gate:
                 "paymentPayload": payload,
                 "paymentRequirements": json.loads(
                     base64.b64decode(
-                        self.payment_required_header(duration_sec, "/synthesize")
+                        self.payment_required_header(duration_sec, resource)
                     )
                 )["accepts"][0],
             }
         ).encode()
 
     def _facilitator_post(self, endpoint: str, payment_b64: str,
-                          duration_sec: float) -> Optional[dict]:
+                          duration_sec: float,
+                          resource: str = "/synthesize") -> Optional[dict]:
         import urllib.request
 
         try:
             req = urllib.request.Request(
                 f"{self.cfg.facilitator_url}{endpoint}",
-                data=self._facilitator_body(payment_b64, duration_sec),
+                data=self._facilitator_body(payment_b64, duration_sec,
+                                            resource),
                 headers={"content-type": "application/json"},
             )
             with urllib.request.urlopen(req, timeout=10) as resp:
@@ -271,11 +274,14 @@ class X402Gate:
         except Exception:
             return None  # fail closed: callers treat None as denial
 
-    def _verify_with_facilitator(self, payment_b64: str, duration_sec: float) -> bool:
-        resp = self._facilitator_post("/verify", payment_b64, duration_sec)
+    def _verify_with_facilitator(self, payment_b64: str, duration_sec: float,
+                                 resource: str = "/synthesize") -> bool:
+        resp = self._facilitator_post("/verify", payment_b64, duration_sec,
+                                      resource)
         return bool(resp and resp.get("isValid", False))
 
-    def settle(self, payment_b64: str, duration_sec: float) -> Optional[str]:
+    def settle(self, payment_b64: str, duration_sec: float,
+               resource: str = "/synthesize") -> Optional[str]:
         """Capture the verified payment AFTER successful synthesis
         (settle-after-serve, like the reference's x402-axum middleware,
         main.rs:60-79). Returns the base64 X-PAYMENT-RESPONSE header value,
@@ -299,7 +305,8 @@ class X402Gate:
             return base64.b64encode(
                 json.dumps({"success": True, "network": self.cfg.network}).encode()
             ).decode()
-        resp = self._facilitator_post("/settle", payment_b64, duration_sec)
+        resp = self._facilitator_post("/settle", payment_b64, duration_sec,
+                                      resource)
         if not resp or not resp.get("success", False):
             return None
         return base64.b64encode(json.dumps(resp).encode()).decode()

@@ -539,3 +539,55 @@ def test_static_serving_index_samples_and_traversal(tmp_path):
     bare = TTSServer(tts=object(), x402_cfg=X402Config(mode="disabled"))
     st, _, _ = run(bare.handle("GET", "/", {}, {}, b""))
     assert st == 404
+
+
+def test_nonfinite_and_nonpositive_durations_rejected_400():
+    """float('nan')/'inf' parse, then math.ceil(nan) would detonate on the
+    batcher dispatch thread and strand every queued request — one
+    unauthenticated request must never brick synthesis (review r3)."""
+    server = TTSServer(tts=object(), x402_cfg=X402Config(mode="disabled"))
+    for bad in ("nan", "inf", "-inf", "-1", "0"):
+        status, _, body = run(server.handle(
+            "POST", "/synthesize", {"duration": bad},
+            {"content-type": "multipart/form-data; boundary=X"}, b"--X--"))
+        assert status == 400, (bad, status, body)
+
+
+def test_batcher_grouping_error_fails_futures_keeps_thread_alive():
+    """A poisoned request must fail ITS batch and leave the dispatch thread
+    serving later requests (it used to kill the daemon thread and strand
+    every queued future, review r3)."""
+    import numpy as np
+
+    from smalltts_tpu.serving.batcher import Batcher
+
+    class _TTS:
+        def synthesize_padded(self, ref, *a, **k):
+            return np.zeros((ref.shape[0], 1, 3200), np.float32)
+
+    b = Batcher(_TTS(), max_batch=2)
+    try:
+        ref = np.zeros((4, 64), np.float32)
+        bad = b.submit(ref, [1, 2], float("nan"))  # t_bucket raises in _run
+        try:
+            bad.result(timeout=10)
+            raise AssertionError("nan-duration future must fail")
+        except (ValueError, OverflowError):
+            pass
+        good = b.submit(ref, [1, 2], 1.0)  # thread must still be alive
+        assert good.result(timeout=10).shape[-1] >= 3200
+    finally:
+        b.close()
+
+
+def test_multipart_name_after_filename_parses_correct_field():
+    """RFC 7578 mandates no attribute order: filename before name must not
+    capture 'clip.wav' as the field name (review r3)."""
+    from smalltts_tpu.serving.multipart import parse_multipart
+
+    raw = (b"--XB\r\n"
+           b'Content-Disposition: form-data; filename="clip.wav"; name="audio"\r\n'
+           b"Content-Type: audio/wav\r\n\r\n"
+           b"RIFFdata\r\n--XB--\r\n")
+    fields = parse_multipart(raw, "multipart/form-data; boundary=XB")
+    assert fields == {"audio": b"RIFFdata"}

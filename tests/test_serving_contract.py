@@ -777,7 +777,13 @@ def test_stream_after_batcher_close_fails_fast():
             "POST", "/synthesize/stream", {"duration": "2"}, headers, body)
         assert status == 200
         server._batcher.close()  # drain completed while stream was parked
-        chunks = [c async for c in agen]  # must terminate, not hang
+        # must terminate, not hang — and by RAISING, so _respond_chunked
+        # aborts without the terminal chunk instead of presenting the
+        # truncation as a complete response (review r3)
+        chunks = []
+        with pytest.raises(QueueFull):
+            async for c in agen:
+                chunks.append(c)
         assert len(chunks) <= 1  # header at most; no audio after close
 
     loop = asyncio.new_event_loop()
@@ -943,3 +949,24 @@ def test_stream_payment_caps_synthesized_duration():
     assert sum(submitted) <= 1.0 + 1e-6, (
         f"stream synthesized {sum(submitted):.2f}s on a 1.0s payment")
     assert len(submitted) < 6, "cap never engaged"
+
+
+def test_negative_content_length_rejected_400():
+    """int() accepts '-1' and readexactly(-1) raises uncaught, killing the
+    connection task with no response (review r3) — must 400 like any other
+    bad content-length."""
+    from smalltts_tpu.serving.server import TTSServer
+    from smalltts_tpu.serving.x402 import X402Config
+
+    server = TTSServer(tts=object(), x402_cfg=X402Config(mode="disabled"))
+    port, loop = _start_server(server)
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s.sendall(b"POST /synthesize HTTP/1.1\r\nhost: x\r\n"
+                  b"content-length: -1\r\n\r\n")
+        s.settimeout(5)
+        data = s.recv(4096)
+        assert data.startswith(b"HTTP/1.1 400"), data[:60]
+        s.close()
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
