@@ -33,6 +33,18 @@ def split_sentences(text: str, max_chars: int = 330) -> List[str]:
                 cur = ""
             piece = ""
             for w in s.split():
+                while len(w) > max_chars:
+                    # a single unbroken token (URL, base64 blob) longer than
+                    # max_chars would otherwise become one chunk whose
+                    # duration clamps at 30 s and truncates mid-utterance
+                    # (review r3) — slice it at the character level
+                    if piece:
+                        chunks.append(piece)
+                        piece = ""
+                    chunks.append(w[:max_chars])
+                    w = w[max_chars:]
+                if not w:
+                    continue
                 if piece and len(piece) + len(w) + 1 > max_chars:
                     chunks.append(piece)
                     piece = w
@@ -70,16 +82,19 @@ def crossfade_concat(parts: Sequence[np.ndarray], fade_ms: float = 20.0,
 
 def synthesize_long(tts, ref_latents: np.ndarray, text: str,
                     chars_per_second: float = 11.5) -> np.ndarray:
-    """Chunked synthesis of arbitrarily long text -> (1, samples) @24 kHz."""
-    from smalltts_tpu.infer.pipeline import estimate_duration
+    """Chunked synthesis of arbitrarily long text -> (1, samples) @24 kHz.
+
+    `chars_per_second` scales both the per-chunk duration estimate and the
+    chunk size cap (it used to be accepted and silently ignored, review r3:
+    a slow-speech voice at 8 chars/s got ~30% too little latent budget)."""
     from smalltts_tpu.text import get_token_ids
 
     parts = []
-    for chunk in split_sentences(text):
+    for chunk in split_sentences(text, max_chars=int(30 * chars_per_second)):
         tokens = get_token_ids(chunk)
         if not tokens:
             continue
-        duration = estimate_duration(chunk)
+        duration = max(0.5, min(len(chunk) / chars_per_second, 30.0))
         parts.append(tts.synthesize(ref_latents, tokens, duration))
     if not parts:
         return np.zeros((1, 0), np.float32)
@@ -117,7 +132,9 @@ def stream_synthesize_long(tts, ref_latents: np.ndarray, text: str,
         emit, pending = crossfade_stream_step(pending, cur, fade)
         if emit is not None:
             yield emit
-    if pending is not None:
+    if pending is not None and len(pending):
+        # the zero-fade tail is an empty array, and consumers map emits to
+        # chunked-transfer frames where an empty chunk is the terminator
         yield pending
 
 

@@ -26,9 +26,6 @@ import numpy as np
 from smalltts_tpu.data.bucketing import (
     HOP_SIZE,
     LATENT_BUCKETS,
-    PHONEME_BUCKETS,
-    REF_BUCKETS,
-    SAMPLE_RATE,
     SERVING_PHONEME_BUCKETS,
     SERVING_REF_BUCKETS,
     frames_for_duration,

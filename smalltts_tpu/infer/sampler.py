@@ -58,6 +58,12 @@ def sample_latents(
         if noises is None:
             raise ValueError("pass t_bucket or noises (its shape fixes the bucket)")
         t_bucket = noises.shape[2]
+    if noises is not None and noises.shape[0] != num_steps:
+        # dynamic_index_in_dim CLAMPS out-of-range step indices, so a
+        # mismatched injection would silently reuse the last noise slice
+        # and produce plausible-but-wrong parity latents (review r3)
+        raise ValueError(
+            f"noises has {noises.shape[0]} steps, num_steps={num_steps}")
     return _sample_loop(
         params, cfg, cond, seq_lengths, t_bucket, key, num_steps, noises
     )

@@ -61,14 +61,57 @@ def unflatten_pytree(flat: Dict[str, np.ndarray]) -> Any:
     return root
 
 
+# npz index entry naming the leaves stored as uint16 views of bfloat16:
+# np.savez writes ml_dtypes.bfloat16 arrays as raw void '|V2' with no error,
+# silently breaking the round-trip (review r3) — bf16 is the serving dtype,
+# so it must survive checkpointing exactly
+_BF16_KEY = "__bfloat16_keys__"
+
+
 def _atomic_savez(path: str, arrays: Dict[str, np.ndarray]) -> None:
     """Write-to-temp + rename so a crash mid-save never corrupts the last
     good checkpoint (np.savez appends .npz to paths without the suffix, so
-    the temp name keeps it)."""
+    the temp name keeps it). bfloat16 leaves are stored as uint16 views and
+    recorded in the _BF16_KEY index; other non-native dtypes raise loudly
+    instead of degrading to void bytes."""
+    import ml_dtypes
+
+    out: Dict[str, np.ndarray] = {}
+    bf16_keys = []
+    for k, v in arrays.items():
+        v = np.asarray(v)
+        if v.dtype.kind == "V":
+            if v.dtype == ml_dtypes.bfloat16:
+                bf16_keys.append(k)
+                v = v.view(np.uint16)
+            else:
+                raise ValueError(
+                    f"cannot serialize leaf {k!r} of dtype {v.dtype} to npz")
+        out[k] = v
+    if bf16_keys:
+        out[_BF16_KEY] = np.array(bf16_keys)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp.npz"
-    np.savez(tmp, **arrays)
+    np.savez(tmp, **out)
     os.replace(tmp, path)
+
+
+def _decode_npz(data) -> Dict[str, np.ndarray]:
+    """Inverse of _atomic_savez's dtype handling."""
+    bf16 = set()
+    if _BF16_KEY in data.files:
+        bf16 = {str(x) for x in data[_BF16_KEY]}
+    out: Dict[str, np.ndarray] = {}
+    for k in data.files:
+        if k == _BF16_KEY:
+            continue
+        v = data[k]
+        if k in bf16:
+            import ml_dtypes
+
+            v = v.view(ml_dtypes.bfloat16)
+        out[k] = v
+    return out
 
 
 def save_pytree(path: str, tree) -> None:
@@ -77,7 +120,7 @@ def save_pytree(path: str, tree) -> None:
 
 def load_pytree(path: str):
     with np.load(path, allow_pickle=False) as data:
-        return unflatten_pytree({k: data[k] for k in data.files})
+        return unflatten_pytree(_decode_npz(data))
 
 
 def load_reference_backbone_checkpoint(path: str):
@@ -117,7 +160,8 @@ def load_train_state(path: str, template):
     """Restore a save_train_state checkpoint into `template`'s structure."""
     treedef = jax.tree.structure(template)
     with np.load(path, allow_pickle=False) as data:
-        leaves = [data[k] for k in sorted(data.files)]
+        flat = _decode_npz(data)
+    leaves = [flat[k] for k in sorted(flat)]
     t_leaves = jax.tree.leaves(template)
     if len(leaves) != len(t_leaves):
         raise ValueError(
@@ -149,6 +193,7 @@ class AsyncCheckpointer:
 
         self._q = queue.Queue(maxsize=max_pending)
         self._errors: list = []
+        self._closed = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -177,11 +222,19 @@ class AsyncCheckpointer:
             lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree
         )
 
+    def _enqueue(self, fn, args) -> None:
+        # a save after close() would sit unprocessed forever (silent
+        # checkpoint loss) and deadlock the next wait() in Queue.join()
+        # — the worker is gone, nothing calls task_done (review r3)
+        if self._closed:
+            raise RuntimeError("AsyncCheckpointer is closed")
+        self._q.put((fn, args))
+
     def save_pytree(self, path: str, tree) -> None:
-        self._q.put((save_pytree, (path, self._snapshot(tree))))
+        self._enqueue(save_pytree, (path, self._snapshot(tree)))
 
     def save_train_state(self, path: str, state) -> None:
-        self._q.put((save_train_state, (path, self._snapshot(state))))
+        self._enqueue(save_train_state, (path, self._snapshot(state)))
 
     def wait(self) -> None:
         """Block until all queued saves hit disk; re-raise the first error
@@ -197,6 +250,7 @@ class AsyncCheckpointer:
         """Flush and shut the worker down — ALWAYS, even when the flush
         re-raises a save error (the sentinel must reach the worker or the
         thread leaks and the final join never completes; review r3)."""
+        self._closed = True
         try:
             self.wait()
         finally:

@@ -20,7 +20,7 @@ never depends on it.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -32,9 +32,16 @@ def clean_state_dict_keys(sd: Dict[str, "np.ndarray"]) -> Dict[str, "np.ndarray"
     for k, v in sd.items():
         if k in ("initted", "step"):
             continue
-        for prefix in _PREFIXES:
-            while k.startswith(prefix):
-                k = k[len(prefix):]
+        # loop until stable: a single ordered pass left residue on nested
+        # spellings like '_orig_mod.module.' (compiled DDP) because
+        # 'module.' had already been tried before '_orig_mod.' stripped
+        while True:
+            for prefix in _PREFIXES:
+                if k.startswith(prefix):
+                    k = k[len(prefix):]
+                    break
+            else:
+                break
         k = k.replace("._orig_mod.", ".")
         cleaned[k] = v
     return cleaned
@@ -179,9 +186,20 @@ def convert_dit_state_dict(sd: Dict[str, np.ndarray], prefix: str = ""):
     }
 
 
-def convert_backbone_state_dict(sd: Dict[str, np.ndarray], n_dit_blocks: int = 12):
-    """Reference DiTModel state_dict -> our backbone param pytree (numpy leaves)."""
+def convert_backbone_state_dict(sd: Dict[str, np.ndarray],
+                                n_dit_blocks: Optional[int] = None):
+    """Reference DiTModel state_dict -> our backbone param pytree (numpy
+    leaves). The DiT block count is always derived from the state_dict;
+    `n_dit_blocks`, when given, is a cross-check that fails loudly instead
+    of silently converting a different depth than the caller expected
+    (it used to be accepted and ignored, review r3)."""
     sd = clean_state_dict_keys(sd)
+    if n_dit_blocks is not None:
+        found = _count_blocks(sd, "dit.transformer_blocks")
+        if found != n_dit_blocks:
+            raise ValueError(
+                f"checkpoint has {found} DiT blocks, caller expected "
+                f"{n_dit_blocks}")
     return {
         "time_embedding": {
             "l1": _lin(sd, "time_embedding.mlp.0"),
@@ -312,7 +330,8 @@ def _sb_tdnn(sd, key):
     return {"conv": _sb_conv(sd, f"{key}.conv"), "bn": _bn_state(sd, f"{key}.norm.norm")}
 
 
-def convert_sv_state_dict(sd: Dict[str, np.ndarray], res2net_scale: int = 12):
+def convert_sv_state_dict(sd: Dict[str, np.ndarray],
+                          res2net_scale: Optional[int] = None):
     """Reference SV student (speechbrain ECAPA_TDNN under the `ecapa.`
     prefix, src/smalltts/models/sv/model.py:13-24) -> our pytree.
 
@@ -324,11 +343,17 @@ def convert_sv_state_dict(sd: Dict[str, np.ndarray], res2net_scale: int = 12):
         sd = {k[len("ecapa."):]: v for k, v in sd.items() if k.startswith("ecapa.")}
 
     def se_res2net(pre):
+        # scale is self-describing: count the res2net blocks actually in
+        # the state_dict (scale-1 of them). A hardcoded default dropped or
+        # KeyError'd on checkpoints with a different scale — the standard
+        # speechbrain VoxCeleb ECAPA uses 8 where ours uses 12 (review r3).
+        n = (res2net_scale - 1 if res2net_scale is not None
+             else _count_blocks(sd, f"{pre}.res2net_block.blocks"))
         return {
             "in_tdnn": _sb_tdnn(sd, f"{pre}.tdnn1"),
             "res2net": [
                 _sb_tdnn(sd, f"{pre}.res2net_block.blocks.{j}")
-                for j in range(res2net_scale - 1)
+                for j in range(n)
             ],
             "out_tdnn": _sb_tdnn(sd, f"{pre}.tdnn2"),
             "se1": _sb_conv(sd, f"{pre}.se_block.conv1"),

@@ -148,3 +148,56 @@ def test_async_checkpointer_errors_clear_and_close_shuts_down(tmp_path):
     assert not saver._thread.is_alive() or saver._q.qsize() == 0
     saver._thread.join(timeout=5)
     assert not saver._thread.is_alive()
+
+
+def test_bfloat16_pytree_roundtrips_exactly(tmp_path):
+    """np.savez stores ml_dtypes.bfloat16 as raw void '|V2' with no error —
+    the serving dtype must survive checkpointing (review r3)."""
+    import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
+
+    from smalltts_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    tree = {"w": jnp.arange(8, dtype=jnp.bfloat16) / 3,
+            "nested": {"b": jnp.ones((2, 3), jnp.bfloat16) * 1.5,
+                       "f32": jnp.ones((2,), jnp.float32)}}
+    path = str(tmp_path / "bf16.npz")
+    save_pytree(path, tree)
+    back = load_pytree(path)
+    assert back["w"].dtype == ml_dtypes.bfloat16
+    assert back["nested"]["b"].dtype == ml_dtypes.bfloat16
+    assert back["nested"]["f32"].dtype == np.float32
+    np.testing.assert_array_equal(np.asarray(tree["w"]), back["w"])
+    np.testing.assert_array_equal(np.asarray(tree["nested"]["b"]),
+                                  back["nested"]["b"])
+
+
+def test_bfloat16_train_state_roundtrips(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smalltts_tpu.utils.checkpoint import load_train_state, save_train_state
+
+    state = {"p": jnp.full((4,), 0.125, jnp.bfloat16), "step": jnp.int32(7)}
+    path = str(tmp_path / "ts.npz")
+    save_train_state(path, state)
+    back = load_train_state(path, state)
+    assert back["p"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(state["p"]), np.asarray(back["p"]))
+    assert int(back["step"]) == 7
+
+
+def test_async_checkpointer_rejects_saves_after_close(tmp_path):
+    """A save enqueued after close() would sit unprocessed (silent loss) and
+    deadlock the next wait() in Queue.join() (review r3)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from smalltts_tpu.utils.checkpoint import AsyncCheckpointer
+
+    saver = AsyncCheckpointer()
+    saver.save_pytree(str(tmp_path / "a.npz"), {"x": jnp.ones(2)})
+    saver.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        saver.save_pytree(str(tmp_path / "b.npz"), {"x": jnp.ones(2)})

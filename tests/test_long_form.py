@@ -165,3 +165,49 @@ def test_stream_equals_batch_concat():
                                          max_chars=25))
     np.testing.assert_allclose(np.concatenate(pieces), want, atol=1e-6)
     assert len(pieces) >= 2
+
+
+def test_split_sentences_slices_unbroken_giant_tokens():
+    """A 500-char token (URL/base64) must not become one chunk whose 30 s
+    duration clamp truncates mid-utterance (review r3)."""
+    from smalltts_tpu.infer.long_form import split_sentences
+
+    token = "x" * 500
+    chunks = split_sentences(f"short one. {token} tail words.", max_chars=100)
+    assert all(len(c) <= 100 for c in chunks)
+    assert "".join(chunks).count("x") == 500  # nothing dropped
+
+
+def test_synthesize_long_respects_chars_per_second():
+    """The rate used to be accepted and silently ignored (review r3)."""
+    import numpy as np
+
+    from smalltts_tpu.infer.long_form import synthesize_long
+
+    calls = []
+
+    class _TTS:
+        def synthesize(self, ref, tokens, duration):
+            calls.append(duration)
+            return np.zeros((1, 2400), np.float32)
+
+    text = "a" * 80  # 80 chars: 11.5 c/s -> ~6.96 s; 8 c/s -> 10 s
+    synthesize_long(_TTS(), np.zeros((4, 64), np.float32), text,
+                    chars_per_second=8.0)
+    assert calls and abs(calls[0] - 10.0) < 1e-6
+
+
+def test_stream_final_tail_never_empty():
+    """fade_ms=0 left an empty final yield — consumers treat an empty chunk
+    as the chunked-transfer terminator (review r3)."""
+    import numpy as np
+
+    from smalltts_tpu.infer.long_form import stream_synthesize_long
+
+    def synth(chunk):
+        return np.ones((1, 240), np.float32)
+
+    pieces = list(stream_synthesize_long(None, None, "one. two.", fade_ms=0.0,
+                                         synth=synth, max_chars=6))
+    assert len(pieces) == 2 and all(len(p) > 0 for p in pieces)
+    assert sum(len(p) for p in pieces) == 480

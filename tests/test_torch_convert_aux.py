@@ -337,3 +337,28 @@ def test_sv_conversion_full_size_keys():
     params = convert_sv_state_dict(sd)
     assert params["fc"]["w"].shape == (1, 4608, 192)
     assert len(params["blocks"][0]["res2net"]) == 11
+
+
+def test_nested_prefixes_strip_in_any_order():
+    """'_orig_mod.module.' (compiled DDP) and 'ema_model.module.' left a
+    residual 'module.' under the single ordered pass (review r3)."""
+    import numpy as np
+
+    from smalltts_tpu.utils.torch_convert import clean_state_dict_keys
+
+    sd = {"_orig_mod.module.a.w": np.zeros(1),
+          "ema_model.module.b.w": np.ones(1),
+          "module._orig_mod.c.w": np.ones(1) * 2}
+    cleaned = clean_state_dict_keys(sd)
+    assert set(cleaned) == {"a.w", "b.w", "c.w"}
+
+
+def test_backbone_block_count_crosscheck():
+    import numpy as np
+    import pytest
+
+    from smalltts_tpu.utils.torch_convert import convert_backbone_state_dict
+
+    sd = {f"dit.transformer_blocks.{i}.x.weight": np.zeros(1) for i in range(3)}
+    with pytest.raises(ValueError, match="3 DiT blocks"):
+        convert_backbone_state_dict(sd, n_dit_blocks=12)
