@@ -189,8 +189,13 @@ def make_teacher_fn(params, cfg: SVConfig = VOXCELEB_ECAPA):
     the frozen weights as arguments (a closure would bake ~80 MB of ECAPA
     literals into the jitted step's HLO)."""
 
-    def teacher_fn(tp, audio_24k: jax.Array) -> jax.Array:
-        return sv_teacher_embed(tp, resample_24k_to_16k(audio_24k), cfg=cfg)
+    def teacher_fn(tp, audio_24k: jax.Array, lengths=None) -> jax.Array:
+        # lengths: (B,) valid samples at 24 kHz; scaled to 16 kHz so the
+        # fbank/pooling mask matches the resampled waveform (the reference
+        # passes audio_lengths to get_true_embeddings, sv.py:58-66)
+        lengths_16k = None if lengths is None else (lengths * 2) // 3
+        return sv_teacher_embed(tp, resample_24k_to_16k(audio_24k),
+                                lengths_16k, cfg=cfg)
 
     return teacher_fn, params
 

@@ -20,6 +20,7 @@ This replaces the reference's onnxruntime sessions
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
@@ -45,12 +46,13 @@ class Ctx:
     """Per-node evaluation context handed to op implementations."""
 
     def __init__(self, node: Node, opset: int, env: dict,
-                 statics: Optional[dict] = None):
+                 statics: Optional[dict] = None, base_dir: str = "."):
         self.node = node
         self.opset = opset
         self._env = env
         self._statics = statics or {}
         self.attrs = node.attributes
+        self.base_dir = base_dir
 
     # ---- attribute accessors
     def attr_i(self, name: str, default: Optional[int] = None) -> Optional[int]:
@@ -74,8 +76,11 @@ class Ctx:
         return list(a.floats) if a is not None else default
 
     def attr_tensor(self, name: str):
+        # base_dir threads through: an attribute tensor with external data
+        # must resolve against the model's directory, not the cwd (the
+        # same wrong-bytes hazard serialize_tensor guards, review r3)
         a = self.attrs.get(name)
-        return tensor_to_numpy(a.t) if a is not None else None
+        return tensor_to_numpy(a.t, self.base_dir) if a is not None else None
 
     # ---- optional-input accessor (ONNX marks absent inputs with "")
     def input(self, idx: int):
@@ -125,7 +130,15 @@ class OnnxFunction:
     also list as graph inputs).
     """
 
-    def __init__(self, model: Model, base_dir: str = "."):
+    def __init__(self, model: Model, base_dir: Optional[str] = None):
+        # default external-data resolution to the directory the model was
+        # loaded from (Model._path), like proto.serialize_model — a bare
+        # OnnxFunction(load_model(path)) must not read sidecar files
+        # relative to the cwd (review r3)
+        if base_dir is None:
+            p = getattr(model, "_path", None)
+            base_dir = os.path.dirname(os.path.abspath(p)) if p else "."
+        self._base_dir = base_dir
         self.model = model
         self.opset = model.opset_version
         g = model.graph
@@ -180,7 +193,7 @@ class OnnxFunction:
         env[""] = None
         for node in self.model.graph.nodes:
             fn = _REGISTRY[node.op_type]
-            ctx = Ctx(node, self.opset, env, self.params)
+            ctx = Ctx(node, self.opset, env, self.params, self._base_dir)
             args = [env[name] if name else None for name in node.inputs]
             if all(a is None or _is_const(a) for a in args):
                 # Constant folding. Inside a jit trace even jnp ops on numpy
@@ -507,7 +520,7 @@ def _constant(ctx):
         if a is None:
             continue
         if name == "value":
-            return tensor_to_numpy(a.t)
+            return tensor_to_numpy(a.t, ctx.base_dir)
         if name == "value_float":
             return np.asarray(a.f, np.float32)
         if name == "value_int":
@@ -790,7 +803,11 @@ def _one_hot(ctx, indices, depth, values):
     vshape = list(jnp.shape(idx))
     vshape.insert(ax, 1)
     oh = oh * jnp.reshape(valid, vshape).astype(oh.dtype)
-    return oh * (vals[1] - vals[0]) + vals[0]
+    # output dtype = values dtype per spec (one_hot returns float; an int64
+    # OneHot feeding Gather/int arithmetic must stay integral, review r3)
+    vals = jnp.asarray(vals)
+    return (oh.astype(vals.dtype) * (vals[1] - vals[0]) + vals[0]).astype(
+        vals.dtype)
 
 
 # ============================================================ linear algebra
@@ -1144,6 +1161,18 @@ def _resize(ctx, x, *rest):
     mode = ctx.attr_s("mode", "nearest")
     coord = ctx.attr_s("coordinate_transformation_mode", "half_pixel")
     nearest_mode = ctx.attr_s("nearest_mode", "round_prefer_floor")
+    # silently ignoring these knobs produced silently-different samples —
+    # unsupported variants must raise like every other op's (review r3)
+    if nearest_mode not in ("round_prefer_floor", "round_prefer_ceil",
+                            "floor", "ceil"):
+        raise NotImplementedError(f"Resize nearest_mode {nearest_mode!r}")
+    if ctx.attr_i("antialias", 0):
+        raise NotImplementedError("Resize antialias")
+    if ctx.attr_i("exclude_outside", 0):
+        raise NotImplementedError("Resize exclude_outside")
+    if ctx.attr_ints("axes") is not None:
+        raise NotImplementedError(
+            "Resize axes (per-rank scales/sizes assumed)")
     # inputs: X, roi?, scales?, sizes?
     scales_v = ctx.static_input(2) if len(ctx.node.inputs) > 2 else None
     sizes_v = ctx.static_input(3) if len(ctx.node.inputs) > 3 else None
@@ -1224,8 +1253,16 @@ def _lstm(ctx, x, w, r, b=None, seq_lens=None, init_h=None, init_c=None, p=None)
     x: (T, B, I); W: (D, 4H, I); R: (D, 4H, H); B: (D, 8H)."""
     if ctx.attrs.get("activations") is not None:
         acts = [s.decode().lower() for s in ctx.attrs["activations"].strings]
-        if any(a not in ("sigmoid", "tanh") for a in acts):
-            raise NotImplementedError(f"LSTM custom activations {acts}")
+        # the implementation hard-codes the default sigmoid/tanh/tanh per
+        # direction — membership in {sigmoid, tanh} is NOT enough (e.g.
+        # all-tanh gates passed the old guard and silently ran sigmoid
+        # gates, review r3)
+        if acts != ["sigmoid", "tanh", "tanh"] * (len(acts) // 3):
+            raise NotImplementedError(f"LSTM non-default activations {acts}")
+    if ctx.attr_f("clip") is not None:
+        raise NotImplementedError("LSTM clip (pre-activation clipping)")
+    if ctx.attr_i("input_forget", 0):
+        raise NotImplementedError("LSTM input_forget coupling")
     if p is not None:
         raise NotImplementedError("LSTM peepholes")
     if seq_lens is not None:
@@ -1283,8 +1320,10 @@ def _gru(ctx, x, w, r, b=None, seq_lens=None, init_h=None):
     """ONNX GRU, zrh gate order, default activations; x (T,B,I)."""
     if ctx.attrs.get("activations") is not None:
         acts = [a.decode().lower() for a in ctx.attrs["activations"].strings]
-        if any(a not in ("sigmoid", "tanh") for a in acts):
-            raise NotImplementedError(f"GRU custom activations {acts}")
+        if acts != ["sigmoid", "tanh"] * (len(acts) // 2):
+            raise NotImplementedError(f"GRU non-default activations {acts}")
+    if ctx.attr_f("clip") is not None:
+        raise NotImplementedError("GRU clip (pre-activation clipping)")
     if seq_lens is not None:
         raise NotImplementedError(
             "GRU sequence_lens (per-sequence lengths would be silently "

@@ -148,6 +148,13 @@ class ImportedSmallTTS:
         ref_len = np.array([ref.shape[1]], np.int64)
         phonemes = np.array([list(phoneme_ids)], np.int64)
         phonemes_mask = np.ones_like(phonemes, bool)
+        if noises is not None and np.shape(noises)[0] != self.num_steps:
+            # dynamic_index_in_dim CLAMPS: a mismatched injection silently
+            # reused the last noise slice and corrupted parity comparisons
+            # (same bug class fixed in infer/sampler.py, review r3)
+            raise ValueError(
+                f"noises has {np.shape(noises)[0]} steps, "
+                f"num_steps={self.num_steps}")
         if key is None:
             self._key, key = jax.random.split(self._key)
         audio = self._jit(

@@ -68,16 +68,20 @@ def _fields(buf: bytes) -> Iterator[Tuple[int, int, object]]:
         yield fno, wt, val
 
 
-def _packed_varints(wt: int, val: object) -> List[int]:
-    """A repeated int field: one varint (unpacked) or a packed blob."""
+def _packed_varints(wt: int, val: object, signed: bool = True) -> List[int]:
+    """A repeated int field: one varint (unpacked) or a packed blob.
+    `signed=False` for uint64 fields — the two's-complement fold turned
+    values >= 2^63 negative, and np.uint64 of a negative raises on
+    numpy >= 2.0 (review r3)."""
+    conv = _signed if signed else (lambda v: v)
     if wt == 0:
-        return [_signed(val)]
+        return [conv(val)]
     out = []
     pos = 0
     buf = val
     while pos < len(buf):
         v, pos = _read_varint(buf, pos)
-        out.append(_signed(v))
+        out.append(conv(v))
     return out
 
 
@@ -216,7 +220,7 @@ def _parse_tensor(buf: bytes) -> Tensor:
         elif fno == 10:
             t.double_data.extend(_packed_doubles(wt, val))
         elif fno == 11:
-            t.uint64_data.extend(_packed_varints(wt, val))
+            t.uint64_data.extend(_packed_varints(wt, val, signed=False))
         elif fno == 13:  # external_data: StringStringEntryProto
             key = value = ""
             for efno, _ewt, eval_ in _fields(val):
@@ -372,9 +376,11 @@ def tensor_to_numpy(t: Tensor, base_dir: str = ".") -> np.ndarray:
         return np.asarray(t.int64_data, np.int64).reshape(shape)
     if t.data_type == 11:
         return np.asarray(t.double_data, np.float64).reshape(shape)
-    if t.data_type in (13,):
-        return np.asarray(t.uint64_data, np.uint64).reshape(shape)
-    if t.data_type in (2, 3, 4, 5, 6, 9, 10, 12, BFLOAT16):
+    if t.data_type in (12, 13):
+        # per spec uint32 AND uint64 use the uint64_data field
+        arr = np.asarray(t.uint64_data, np.uint64).reshape(shape)
+        return arr.astype(np.uint32) if t.data_type == 12 else arr
+    if t.data_type in (2, 3, 4, 5, 6, 9, 10, BFLOAT16):
         # stored in int32_data per spec (float16/bfloat16 as raw bits)
         arr = np.asarray(t.int32_data, np.int32)
         if t.data_type == 10:
@@ -451,7 +457,7 @@ def serialize_tensor(t: Tensor, base_dir: str = None) -> bytes:
     if t.raw_data:
         _w_bytes(out, 9, t.raw_data)
     elif t.float_data or t.int32_data or t.int64_data or t.uint64_data \
-            or t.external or t.data_location:
+            or t.double_data or t.external or t.data_location:
         # typed-field / external payloads are legal inputs (tf2onnx emits
         # float_data); silently writing a tensor with NO bytes would corrupt
         # the copy — normalize through numpy into raw_data instead.

@@ -151,8 +151,17 @@ def make_codec_distill_step(
 def _teacher_fns(teacher):
     """(teacher_params, decode_fn, encode_fn|None) from an OnnxCodec-like."""
     decode = lambda tp, lat: teacher.decode_fn(tp, lat)  # noqa: E731
+    # probe the PUBLIC `encoder` property (None on decode-only OnnxCodec
+    # builds); duck-typed teachers without it must at least have a callable
+    # encode_fn — the old private-attribute getattr(teacher, "_enc", True)
+    # assumed encoder support on any object missing _enc and blew up at the
+    # first encoder-distill step (review r3)
+    if hasattr(teacher, "encoder"):
+        has_encoder = teacher.encoder is not None
+    else:
+        has_encoder = callable(getattr(teacher, "encode_fn", None))
     encode = None
-    if getattr(teacher, "_enc", True) is not None:
+    if has_encoder:
         encode = lambda tp, a: teacher.encode_fn(tp, a)  # noqa: E731
     return teacher.params, decode, encode
 

@@ -52,7 +52,7 @@ from smalltts_tpu.models.style_encoder import style_encoder
 from smalltts_tpu.models.sv import SVConfig, sv_forward
 from smalltts_tpu.ops.masking import length_mask
 from smalltts_tpu.ops.losses import cosine_loss
-from smalltts_tpu.ops.schedule import apply_noise, get_alpha_sigma
+from smalltts_tpu.ops.schedule import apply_noise, x_pred_from_velocity
 
 TIMESTEPS = (1.0, 1.0, 0.75, 0.50, 0.25)
 SCORER_UPDATES = 5
@@ -78,13 +78,10 @@ def _x_pred(params, cfg, x_t, ref, ref_len, mask, ph, ph_mask, t,
         params, cfg, x_t, ref, ref_len, mask, ph, ph_mask, t,
         return_features=return_features,
     )
-    alpha, sigma = get_alpha_sigma(t)
-    a = alpha[:, None, None]
-    s = sigma[:, None, None]
     if return_features:
         velocity, feats = out
-        return a * x_t - s * velocity, feats
-    return a * x_t - s * out
+        return x_pred_from_velocity(x_t, velocity, t), feats
+    return x_pred_from_velocity(x_t, out, t)
 
 
 def _x_pred_cfg(params, cfg, x_t, ref, ref_len, mask, ph, ph_mask, t):
@@ -93,8 +90,7 @@ def _x_pred_cfg(params, cfg, x_t, ref, ref_len, mask, ph, ph_mask, t):
     same code the many-step teacher sampler runs."""
     velocity = cfg_velocity(params, cfg, x_t, ref, ref_len, mask, ph, ph_mask,
                             t, CFG_SCALE_TEXT, CFG_SCALE_SPEAKER)
-    alpha, sigma = get_alpha_sigma(t)
-    return alpha[:, None, None] * x_t - sigma[:, None, None] * velocity
+    return x_pred_from_velocity(x_t, velocity, t)
 
 
 def _unpack(batch):
@@ -196,28 +192,52 @@ def make_student_step(
             # ---- LSGAN generator loss: grads flow through x_t (= noised x0)
             # into the discriminator's audio projection (distill.py:289-341)
             x_t, _ = apply_noise(x0, tgt["ts"], tgt["noise_t"])
+            # train=True for parity with the reference, which keeps the
+            # disc in train mode for this loss too. With the default
+            # GroupNorm conformer (use_group_norm=True here AND in the
+            # reference, discriminator.py:68) the flag is inert; it only
+            # matters for a BatchNorm-configured variant, where the
+            # generator must see the same batch-stats normalization the
+            # disc trains under (review r3)
             logits, _ = discriminator_forward(
                 sg(disc), disc_cfg, sg(tgt["feats_fake"]), x_t, tgt["ref_seq"],
-                tgt["ref_mask"], mask, ph, tgt["ts"],
+                tgt["ref_mask"], mask, ph, tgt["ts"], train=True,
             )
             gan = ((logits - 1.0) ** 2).mean()
 
-            # ---- CTC alignment loss (frozen ASR) ----
-            log_probs, out_lens, _ = asr_forward(sg(asr), asr_cfg, x0, lat_len)
-            logit_pad = 1.0 - length_mask(out_lens, log_probs.shape[1]).astype(jnp.float32)
-            label_pad = 1.0 - ph_mask.astype(jnp.float32)
-            ctc_per = optax.ctc_loss(log_probs, logit_pad, ph, label_pad)
-            # torch CTCLoss 'mean': per-sample loss / target length, then mean
-            ctc = (ctc_per / jnp.maximum(ph_len.astype(jnp.float32), 1.0)).mean()
+            # ---- CTC alignment loss (frozen ASR), gated on step ----
+            # lax.cond SKIPS the conformer forward+backward before
+            # asr_start_step instead of multiplying it by zero — the
+            # reference's python-level `if step > 5000` never pays it
+            # either (distill.py:344-356); a jnp.where gate ran the full
+            # ASR+SV compute for a guaranteed-zero term for the first
+            # 5-7k of 40k steps (review r3)
+            def ctc_branch(_):
+                log_probs, out_lens, _ = asr_forward(sg(asr), asr_cfg, x0, lat_len)
+                logit_pad = 1.0 - length_mask(
+                    out_lens, log_probs.shape[1]).astype(jnp.float32)
+                label_pad = 1.0 - ph_mask.astype(jnp.float32)
+                ctc_per = optax.ctc_loss(log_probs, logit_pad, ph, label_pad)
+                # torch CTCLoss 'mean': per-sample / target length, then mean
+                return (ctc_per / jnp.maximum(
+                    ph_len.astype(jnp.float32), 1.0)).mean()
 
-            # ---- SV cosine loss (frozen SV) ----
-            true_emb, _ = sv_forward(sg(sv), sv_cfg, sg(latents), lat_len)
-            stu_emb, _ = sv_forward(sg(sv), sv_cfg, x0, lat_len)
-            sv_loss = cosine_loss(stu_emb, sg(true_emb)).mean()
+            ctc = jax.lax.cond(step > train_cfg.asr_start_step,
+                               ctc_branch, lambda _: 0.0, None)
 
-            lam_asr = jnp.where(step > train_cfg.asr_start_step, 1.0, 0.0)
-            lam_sv = jnp.where(step > train_cfg.sv_start_step, 1.0, 0.0)
-            total = pseudo + train_cfg.gan_weight * gan + lam_asr * ctc + lam_sv * sv_loss
+            # ---- SV cosine loss (frozen SV), gated on step ----
+            def sv_branch(_):
+                true_emb, _ = sv_forward(sg(sv), sv_cfg, sg(latents), lat_len)
+                stu_emb, _ = sv_forward(sg(sv), sv_cfg, x0, lat_len)
+                return cosine_loss(stu_emb, sg(true_emb)).mean()
+
+            sv_loss = jax.lax.cond(step > train_cfg.sv_start_step,
+                                   sv_branch, lambda _: 0.0, None)
+
+            # NB: st_asr/st_sv report 0.0 before their gates open — the
+            # compute is skipped entirely (reference behavior), so the
+            # pre-gate loss value does not exist to log
+            total = pseudo + train_cfg.gan_weight * gan + ctc + sv_loss
             aux = {"st_pseudo": pseudo, "st_gan": gan, "st_asr": ctc,
                    "st_sv": sv_loss, "x_t": sg(x_t)}
             return total, aux
@@ -269,16 +289,22 @@ def make_disc_step(cfg: BackboneConfig, disc_cfg: DiscriminatorConfig, tx):
         ts2 = jnp.concatenate([ts] * 2, axis=0)
 
         def disc_loss(disc_p):
-            logits, _ = discriminator_forward(
+            logits, new_p = discriminator_forward(
                 disc_p, disc_cfg, feats, xs, ref_seq2, ref_mask2, mask2, ph2, ts2,
                 train=True,
             )
             real, fake = jnp.split(logits, 2, axis=0)
-            return (fake ** 2 + (real - 1.0) ** 2).mean()
+            return (fake ** 2 + (real - 1.0) ** 2).mean(), new_p
 
-        loss, grads = jax.value_and_grad(disc_loss)(disc)
+        # has_aux threads updated BN running stats through the update.
+        # The default disc is GroupNorm-only (no stats; same as the
+        # reference, discriminator.py:68) so this is usually an identity —
+        # but a BatchNorm-configured disc would otherwise freeze its stats
+        # at init for the whole run (review r3). Stats leaves are
+        # optimizer-masked, so applying the updates to new_p preserves them.
+        (loss, new_p), grads = jax.value_and_grad(disc_loss, has_aux=True)(disc)
         updates, disc_opt = tx.update(grads, disc_opt, disc)
-        disc = optax.apply_updates(disc, updates)
+        disc = optax.apply_updates(new_p, updates)
         return disc, disc_opt, loss
 
     return disc_step

@@ -122,6 +122,14 @@ def make_imf_step(cfg: BackboneConfig, tx, train_cfg: ImfConfig = ImfConfig()):
         lengths = batch["latents_lengths"]
         b, t_len, _ = latents.shape
         mask = length_mask(lengths, t_len)
+        # DELIBERATE freeze: conditioning is encoded OUTSIDE loss_fn, so
+        # the style/text encoders and cross-KV projections receive zero
+        # gradient — the IMF student keeps the teacher's conditioning
+        # exactly. That keeps cached-cond serving interchangeable between
+        # DMD and IMF recurrences on one checkpoint (infer/pipeline routes
+        # both through the same encode), and the corpus quality gate
+        # measured the student this way. The optimizer runs without weight
+        # decay so these zero-grad leaves cannot drift (review r3).
         cond = encode_conditions(
             student, cfg, batch["ref_latents"], batch["ref_latents_lengths"],
             batch["phonemes"],
@@ -229,9 +237,24 @@ def train_imf(
     if teacher_params is None:
         teacher_params = ckpt.load_pytree(teacher_checkpoint)
     student = init_imf_student(teacher_params)
-    tx = optax.chain(
-        optax.clip_by_global_norm(train_cfg.grad_clip),
-        optax.adamw(train_cfg.lr),
+    # The conditioning encoders are structurally frozen (zero grad, see
+    # make_imf_step): mask them out of the optimizer entirely so weight
+    # decay — the only force that would move them off the teacher weights
+    # the cached-cond serving path shares — cannot touch them. Trained
+    # leaves keep the standard adamw recipe (default decay).
+    _FROZEN = ("style_encoder", "phoneme_embedding",
+               "kv_ref", "kv_text", "k_norm_cross")
+
+    def _trained(path, _):
+        names = {str(getattr(p, "key", getattr(p, "idx", ""))) for p in path}
+        return not names & set(_FROZEN)
+
+    tx = optax.masked(
+        optax.chain(
+            optax.clip_by_global_norm(train_cfg.grad_clip),
+            optax.adamw(train_cfg.lr),
+        ),
+        jax.tree_util.tree_map_with_path(_trained, student),
     )
     opt_state = tx.init(student)
     step_fn = make_imf_step(model_cfg, tx, train_cfg)

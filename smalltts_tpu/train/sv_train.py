@@ -44,13 +44,24 @@ def make_fallback_teacher(emb_dim: int = 192, seed: int = 1234):
     key = jax.random.PRNGKey(seed)
     w = jax.random.normal(key, (256, 1, emb_dim)) / 16.0
 
-    def teacher_fn(tp, audio: jax.Array) -> jax.Array:  # (B, 1, T)
+    def teacher_fn(tp, audio: jax.Array, lengths=None) -> jax.Array:
+        # audio (B, 1, T); lengths (B,) valid samples. Masked mean pooling:
+        # an unmasked pool let decoded zero-latent padding (an arbitrary
+        # waveform, NOT silence) dominate short utterances' targets
+        # (review r3). The former mean+std concat sliced back to exactly
+        # the mean ([:, :emb_dim] with emb_dim conv channels), so std was
+        # dead compute — mean pooling IS the fallback's definition now.
         x = audio.transpose(0, 2, 1)
         feats = jax.lax.conv_general_dilated(
             x, tp["w"], (128,), "VALID", dimension_numbers=("NHC", "HIO", "NHC")
         )
         feats = jnp.tanh(feats)
-        return jnp.concatenate([feats.mean(1), feats.std(1)], -1)[:, :emb_dim]
+        if lengths is None:
+            return feats.mean(1)
+        n_frames = jnp.clip((lengths - 256) // 128 + 1, 1, feats.shape[1])
+        m = (jnp.arange(feats.shape[1])[None, :] < n_frames[:, None])
+        m = m[..., None].astype(feats.dtype)
+        return (feats * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
 
     return teacher_fn, {"w": w}
 
@@ -67,7 +78,12 @@ def make_sv_step(cfg: SVConfig, codec_cfg: CodecConfig, tx, teacher_fn: Callable
         # in-graph codec decode (the reference round-trips through an ONNX
         # session here, sv.py:56)
         audio = codec_decode(codec_params, latents, codec_cfg)
-        true_emb = jax.lax.stop_gradient(teacher_fn(teacher_params, audio))
+        # mask the teacher to true lengths like the reference does
+        # (sv.py:58-66 passes audio_lengths to get_true_embeddings); the
+        # student already masks, so an unmasked teacher made the target
+        # depend on the batch's padding fraction (review r3)
+        true_emb = jax.lax.stop_gradient(
+            teacher_fn(teacher_params, audio, lengths * codec_cfg.hop))
         # NaN guard on teacher embeddings (sv.py:67-71)
         bad = jnp.any(~jnp.isfinite(true_emb), axis=-1)
         true_emb = jnp.nan_to_num(true_emb)
@@ -91,7 +107,7 @@ def train_sv(
     model_cfg: SVConfig = SVConfig(),
     codec_cfg: CodecConfig = CodecConfig(),
     codec_params=None,
-    teacher_fn: Optional[Callable] = None,  # (teacher_params, audio) -> emb
+    teacher_fn: Optional[Callable] = None,  # (tp, audio, lengths=None) -> emb
     teacher_params=None,
     data_iter=None,
     seed: int = 0,

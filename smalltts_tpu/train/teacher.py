@@ -138,6 +138,10 @@ def train_teacher(
         )
         params, opt_state, ema_params = state["params"], state["opt_state"], state["ema"]
         start_step = int(state["step"])
+        # a resumed run must not replay the step-0 noise/t/CFG-drop stream
+        # (review r3: the key restarted at PRNGKey(seed), so the resumed
+        # segment re-trained on exactly the pairs already seen)
+        key = jax.random.fold_in(key, start_step)
         print(f"resumed from {resume_from} at step {start_step}")
 
     if mesh is not None:
@@ -146,7 +150,12 @@ def train_teacher(
         ema_params = replicated(ema_params, mesh)
 
     step_fn = make_teacher_step(model_cfg, tx, train_cfg)
-    data_iter = data_iter or get_dummy_dataloader(train_cfg.batch_size, seed)
+    # the default loader is seeded past the resume point so the resumed
+    # segment sees a fresh batch stream, not a replay from batch 0 (a
+    # caller-supplied data_iter must arrive already positioned — it is
+    # consumed from wherever it stands)
+    data_iter = data_iter or get_dummy_dataloader(
+        train_cfg.batch_size, seed + start_step)
     # ~4 GB of weights+state per save at full size: serialize off-thread so
     # the step loop never stalls on disk (utils/checkpoint.AsyncCheckpointer)
     saver = ckpt.AsyncCheckpointer()

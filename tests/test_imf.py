@@ -134,6 +134,15 @@ def test_train_imf_driver(tmp_path, setup):
     assert np.isfinite(loss)
     assert "r_gate" in student
     assert (tmp_path / "imf_student_latest.npz").exists()
+    # the conditioning encoders are structurally frozen (zero grad + masked
+    # out of the optimizer): they must still equal the teacher's weights
+    # exactly after training, so cached-cond serving stays interchangeable
+    import jax
+
+    for name in ("style_encoder", "phoneme_embedding"):
+        for a, b in zip(jax.tree.leaves(student[name]),
+                        jax.tree.leaves(teacher[name])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_smalltts_sampler_policy(setup):

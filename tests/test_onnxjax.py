@@ -753,3 +753,60 @@ def test_argmax_select_last_index():
                       "select_last_index": proto.attr_i("select_last_index", 1)})
     np.testing.assert_array_equal(np.asarray(first(first.params, x)), [0, 1])
     np.testing.assert_array_equal(np.asarray(last(last.params, x)), [2, 2])
+
+
+def test_typed_field_dtypes_uint32_uint64_double():
+    """Spec-conformant typed-field storage: uint32 lives in uint64_data
+    (it loaded as empty from int32_data and crashed on reshape); uint64
+    values >= 2^63 must not be two's-complement-folded negative; float64
+    in double_data must serialize (review r3)."""
+    t32 = proto.Tensor()
+    t32.name, t32.data_type, t32.dims = "u32", 12, [3]
+    t32.uint64_data.extend([1, 2, 4_000_000_000])
+    arr = proto.tensor_to_numpy(t32)
+    assert arr.dtype == np.uint32
+    np.testing.assert_array_equal(arr, np.array([1, 2, 4_000_000_000], np.uint32))
+
+    t64 = proto.Tensor()
+    t64.name, t64.data_type, t64.dims = "u64", 13, [2]
+    t64.uint64_data.extend([2**64 - 1, 7])
+    # round-trip through the wire format: the varint decoder must keep the
+    # value unsigned
+    blob = proto.serialize_tensor(t64)
+    back = proto._parse_tensor(blob)
+    arr = proto.tensor_to_numpy(back)
+    assert arr.dtype == np.uint64
+    np.testing.assert_array_equal(
+        arr, np.array([2**64 - 1, 7], np.uint64))
+
+    td = proto.Tensor()
+    td.name, td.data_type, td.dims = "f64", 11, [2]
+    td.double_data.extend([1.5, -2.25])
+    blob = proto.serialize_tensor(td)  # used to raise 'no data payload'
+    back = proto._parse_tensor(blob)
+    np.testing.assert_array_equal(
+        proto.tensor_to_numpy(back), np.array([1.5, -2.25], np.float64))
+
+
+def test_onehot_keeps_values_dtype():
+    """ONNX spec: OneHot output dtype = values dtype (an int64 OneHot fed
+    float32 to integer consumers, review r3)."""
+    g = proto.Graph(
+        name="oh",
+        nodes=[proto.Node(op_type="OneHot",
+                          inputs=["idx", "depth", "vals"], outputs=["y"])],
+        initializers=[
+            proto.numpy_to_tensor("depth", np.array(4, np.int64)),
+            proto.numpy_to_tensor("vals", np.array([0, 1], np.int64)),
+        ],
+        inputs=[proto.make_value_info("idx", 7, [3])],
+        outputs=[proto.make_value_info("y", 7, [3, 4])],
+    )
+    m = proto.Model(ir_version=8, graph=g, opset={"": 17})
+    fn = OnnxFunction(parse_model(proto.serialize_model(m)))
+    y = np.asarray(fn(fn.params, np.array([0, 2, -1], np.int64)))
+    # x64-disabled JAX canonicalizes int64 -> int32; the property under
+    # test is that OneHot stays INTEGRAL (it returned float32 before)
+    assert np.issubdtype(y.dtype, np.integer), y.dtype
+    np.testing.assert_array_equal(
+        y, np.array([[1, 0, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.int64))

@@ -149,3 +149,49 @@ def test_teacher_fn_plugs_into_sv_distillation():
     out = step(student, tx.init(student), codec, teacher_params, batch)
     loss = float(out[-1]) if np.ndim(out[-1]) == 0 else float(out[-1]["loss"])
     assert np.isfinite(loss)
+
+
+def test_teacher_fn_masks_padding():
+    """The teacher target must not depend on the batch's padding fraction:
+    the reference passes audio_lengths to get_true_embeddings (sv.py:58-66);
+    unmasked pooling let decoded zero-latent padding dominate short
+    utterances (review r3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smalltts_tpu.models.sv_teacher import init_sv_teacher, make_teacher_fn
+
+    teacher_fn, tp = make_teacher_fn(
+        init_sv_teacher(jax.random.PRNGKey(0), TINY_TEACHER), TINY_TEACHER)
+
+    rng = np.random.RandomState(3)
+    n = 24_000
+    clip = rng.randn(1, 1, n).astype(np.float32) * 0.1
+    padded = jnp.asarray(np.concatenate(
+        [clip, rng.randn(1, 1, 4 * n).astype(np.float32) * 2.0], axis=-1))
+    lengths = jnp.asarray([n])
+
+    # ECAPA convs leak a little past the boundary (the reference has the
+    # same leakage — only pooling is masked), so assert the masked pool is
+    # FAR closer to the trimmed-clip truth than the unmasked pool was
+    e_true = np.asarray(teacher_fn(tp, jnp.asarray(clip)))
+    e_masked = np.asarray(teacher_fn(tp, padded, lengths))
+    e_unmasked = np.asarray(teacher_fn(tp, padded))
+    d_masked = float(np.abs(e_masked - e_true).mean())
+    d_unmasked = float(np.abs(e_unmasked - e_true).mean())
+    assert d_masked < 0.5 * d_unmasked, (d_masked, d_unmasked)
+
+    # the fallback teacher's masked mean is EXACTLY padding-invariant
+    # (frame i covers samples [i*128, i*128+256) — all inside the mask)
+    from smalltts_tpu.train.sv_train import make_fallback_teacher
+
+    fb, fp = make_fallback_teacher(emb_dim=8)
+    shorter = jnp.asarray(np.concatenate(
+        [clip, rng.randn(1, 1, 2 * n).astype(np.float32)], axis=-1))
+    f1 = np.asarray(fb(fp, shorter, lengths))
+    f2 = np.asarray(fb(fp, padded, lengths))
+    np.testing.assert_allclose(f1, f2, rtol=1e-5, atol=1e-6)
+    # unmasked differs (sanity that the test can fail)
+    f3 = np.asarray(fb(fp, padded))
+    assert np.abs(f1 - f3).max() > 1e-4
