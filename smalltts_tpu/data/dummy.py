@@ -65,6 +65,9 @@ def get_dummy_dataloader(
 ) -> Iterator[Dict[str, np.ndarray]]:
     print("warn: using dummy data, you probably want to use real data")
     cfg = cfg or DummyDataConfig(batch_size=batch_size)
-    rng = np.random.default_rng(seed)
+    # per-process decorrelation for multi-host dp (see data/local.py)
+    import jax
+
+    rng = np.random.default_rng(seed + 100_003 * jax.process_index())
     while True:
         yield dummy_batch(rng, cfg)

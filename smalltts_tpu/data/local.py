@@ -141,9 +141,14 @@ class LocalDataset:
         # compiles a handful of encode shapes, not one per clip
         self.latents: List[np.ndarray] = [None] * len(clips)
         order = np.argsort([len(c) for c in clips])
+        # pad target rounds UP to a coarse ladder (64-frame multiples): the
+        # raw per-group max is sample-dependent and compiled a fresh XLA
+        # encode executable for nearly every group of clips (review r3)
+        quantum = cfg.hop * 64
         for i in range(0, len(order), encode_batch):
             idx = order[i : i + encode_batch]
             t_max = max(len(clips[j]) for j in idx)
+            t_max = -(-t_max // quantum) * quantum
             batch = np.zeros((len(idx), 1, t_max), np.float32)
             for row, j in enumerate(idx):
                 batch[row, 0, : len(clips[j])] = clips[j]
@@ -211,16 +216,30 @@ def get_local_dataloader(
     data/dummy.get_dummy_dataloader)."""
     cfg = cfg or LocalDataConfig()
     ds = LocalDataset(root, encode_fn, cfg)
-    rng = np.random.default_rng(seed)
+    # fold the process index into the seed: in a multi-host job every
+    # process must sample a DIFFERENT local slice of the data stream —
+    # identical seeds made the dp-global batch N duplicated copies,
+    # silently wasting (N-1)/N of the data parallelism (review r3)
+    import jax
+
+    rng = np.random.default_rng(seed + 100_003 * jax.process_index())
     q: "queue.Queue" = queue.Queue(maxsize=cfg.prefetch)
 
     def producer():
-        while True:
-            q.put(ds.sample_batch(rng))
+        # a producer crash must surface in the training loop, not leave it
+        # blocked forever on q.get() while the job looks alive (review r3)
+        try:
+            while True:
+                q.put(ds.sample_batch(rng))
+        except BaseException as exc:  # noqa: BLE001
+            q.put(exc)
 
     threading.Thread(target=producer, daemon=True).start()
     while True:
-        yield q.get()
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def default_encode_fn(codec_checkpoint: Optional[str] = None, codec_cfg=None):

@@ -202,6 +202,12 @@ _USE_PALLAS_ATTENTION = _os.environ.get("SMALLTTS_PALLAS_ATTENTION", "0") == "1"
 
 
 def set_pallas_attention(enabled: bool) -> None:
+    """Route sdpa through the Pallas kernel for FUTURE traces only: the
+    flag is read at trace time and jit caches do not key on it, so any
+    already-jitted function keeps the implementation it was traced with.
+    For an A/B measurement, set the flag BEFORE the first call (or use
+    fresh jit wrappers per arm) — flipping it between timings of one
+    warmed function silently times the same path twice (review r3)."""
     global _USE_PALLAS_ATTENTION
     _USE_PALLAS_ATTENTION = enabled
 

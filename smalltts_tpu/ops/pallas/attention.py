@@ -8,9 +8,13 @@ VMEM (~1 MB). The kernel therefore fuses mask -> scores -> softmax -> value
 matmul in a single VMEM-resident pass per (b, h) grid cell: no score matrix
 or mask ever touches HBM, and no online-softmax bookkeeping is needed.
 
-Numerics: fp32 scores/softmax regardless of input dtype (matching ops.nn.sdpa),
-output cast back. Key mask is a (B, S) bool; fully-masked rows produce a
-uniform average (finite), identical to the XLA path.
+Numerics: fp32 scores/softmax regardless of input dtype (matching
+ops.nn.sdpa). One DELIBERATE divergence in low-precision inputs: the PV
+matmul keeps the fp32 softmax probs (more accurate), while nn.sdpa casts
+probs back to the input dtype first — so bf16 outputs agree to bf16
+tolerance, not bit-exactly (fp32 inputs ARE bit-identical). Key mask is a
+(B, S) bool; fully-masked rows produce a uniform average (finite),
+identical to the XLA path.
 
 Measured on v5e-1 (4-step denoise loop, batch 8, T=40/S=136, bf16): XLA path
 7.04 ms vs Pallas 7.58 ms with bit-identical outputs — XLA's own attention

@@ -71,11 +71,12 @@ def initialize_from_env() -> dict:
     try:
         num = int(os.environ["SMALLTTS_NUM_PROCESSES"])
         pid = int(os.environ["SMALLTTS_PROCESS_ID"])
-    except KeyError as exc:
+    except (KeyError, ValueError) as exc:  # missing OR malformed (e.g. '')
         raise RuntimeError(
             "SMALLTTS_COORDINATOR is set but SMALLTTS_NUM_PROCESSES / "
-            "SMALLTTS_PROCESS_ID are not — all three are required to join "
-            "a distributed job (see parallel/multihost.py)") from exc
+            "SMALLTTS_PROCESS_ID are missing or not integers — all three "
+            "are required to join a distributed job "
+            "(see parallel/multihost.py)") from exc
     # local_device_ids: optional comma list (e.g. when several processes
     # share one host and must split its devices)
     local_ids = os.environ.get("SMALLTTS_LOCAL_DEVICE_IDS")

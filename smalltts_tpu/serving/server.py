@@ -314,6 +314,21 @@ class TTSServer:
         # must never brick synthesis (review r3)
         if not math.isfinite(duration) or duration <= 0:
             return 400, list(CORS_HEADERS), b"invalid duration"
+        if not stream:
+            # the serving contract tops out at the largest latent bucket —
+            # pick_bucket CLAMPS, so a 60 s request would synthesize 32 s
+            # while x402 charged for the full 60 (review r3). Reject before
+            # the payment check so nobody pays for undeliverable audio;
+            # longer texts belong on /synthesize/stream (unbounded, chunked).
+            from smalltts_tpu.data.bucketing import (HOP_SIZE,
+                                                     LATENT_BUCKETS)
+
+            max_sec = LATENT_BUCKETS[-1] * HOP_SIZE / 24_000
+            if duration > max_sec + 1e-9:
+                return (400, list(CORS_HEADERS),
+                        f"duration {duration:g}s exceeds the {max_sec:g}s "
+                        f"cap; use /synthesize/stream for long-form"
+                        .encode())
 
         # the challenge must name the resource the client actually called: a
         # facilitator or strict client validates the signed payment against

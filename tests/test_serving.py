@@ -591,3 +591,22 @@ def test_multipart_name_after_filename_parses_correct_field():
            b"RIFFdata\r\n--XB--\r\n")
     fields = parse_multipart(raw, "multipart/form-data; boundary=XB")
     assert fields == {"audio": b"RIFFdata"}
+
+
+def test_duration_beyond_bucket_cap_rejected_before_payment():
+    """pick_bucket clamps to the largest latent bucket, so a 60 s request
+    would deliver 32 s while x402 charged for 60 (review r3) — reject at
+    the edge, BEFORE the payment check, pointing at the streaming endpoint."""
+    from smalltts_tpu.data.bucketing import HOP_SIZE, LATENT_BUCKETS
+
+    max_sec = LATENT_BUCKETS[-1] * HOP_SIZE / 24_000
+    server = TTSServer(tts=object(), x402_cfg=X402Config(mode="local"))
+    status, _, body = run(server.handle(
+        "POST", "/synthesize", {"duration": str(max_sec * 2)},
+        {"content-type": "multipart/form-data; boundary=X"}, b"--X--"))
+    assert status == 400 and b"stream" in body
+    # at the cap exactly: proceeds to the payment check (402 in local mode)
+    status, hdrs, _ = run(server.handle(
+        "POST", "/synthesize", {"duration": str(max_sec)},
+        {"content-type": "multipart/form-data; boundary=X"}, b"--X--"))
+    assert status == 402
