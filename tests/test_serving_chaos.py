@@ -1,0 +1,162 @@
+"""Mixed adversarial traffic over a live socket (review r3 capstone).
+
+One server, concurrent clients sending every abuse this round hardened
+against — nan/inf/oversized durations, negative content-length, malformed
+multipart, unpaid and replayed payments, valid paid requests, and streams —
+then assert the server is still fully healthy and every valid request
+succeeded. The nan-duration DoS (dead dispatch thread) manifested exactly
+here: the first poisoned request silently killed synthesis for everyone.
+"""
+
+import base64
+import http.client
+import json
+import socket
+import threading
+
+import numpy as np
+
+from smalltts_tpu.serving.multipart import build_multipart
+from smalltts_tpu.serving.server import TTSServer
+from smalltts_tpu.serving.x402 import X402Config
+
+PRIV = 0xC0FFEE
+
+
+def _start(server):
+    import asyncio
+
+    loop = asyncio.new_event_loop()
+    ready = threading.Event()
+    holder = {}
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def main():
+            srv = await asyncio.start_server(server._serve_conn, "127.0.0.1", 0)
+            holder["port"] = srv.sockets[0].getsockname()[1]
+            ready.set()
+            async with srv:
+                await srv.serve_forever()
+
+        try:
+            loop.run_until_complete(main())
+        except Exception:
+            pass
+
+    threading.Thread(target=run, daemon=True).start()
+    assert ready.wait(10)
+    return holder["port"], loop
+
+
+class _FastTTS:
+    def synthesize_padded(self, ref, ref_lens, ph, ph_lens, seq_lens,
+                          t_bucket, key=None, fetch=True):
+        return np.zeros((ref.shape[0], 1, int(t_bucket) * 3200), np.float32)
+
+    def encode_reference(self, samples):
+        return np.zeros((4, 64), np.float32)
+
+
+def _wav(seconds=0.3, sr=24_000):
+    from smalltts_tpu.serving.audio_io import encode_wav
+
+    t = np.arange(int(seconds * sr)) / sr
+    return encode_wav(0.3 * np.sin(2 * np.pi * 440 * t), sr)
+
+
+def test_mixed_adversarial_traffic_leaves_server_healthy():
+    # bounded by per-thread join timeouts below (no pytest-timeout in env)
+    server = TTSServer(tts=_FastTTS(), x402_cfg=X402Config(mode="local"),
+                       tokenizer=lambda t: [1, 2, 3])
+    port, loop = _start(server)
+    body, ctype = build_multipart({"audio": _wav(), "text": "chaos"})
+    results = {"paid_ok": 0, "errors": []}
+    lock = threading.Lock()
+
+    def post(path, headers=None, payload=body, expect=None, tag=""):
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            conn.request("POST", path,
+                         body=payload,
+                         headers={"content-type": ctype, **(headers or {})})
+            resp = conn.getresponse()
+            data = resp.read()
+            conn.close()
+            if expect is not None and resp.status not in expect:
+                with lock:
+                    results["errors"].append(
+                        (tag, resp.status, data[:80]))
+            return resp.status, dict(resp.getheaders()), data
+        except Exception as exc:  # noqa: BLE001
+            with lock:
+                results["errors"].append((tag, "exc", repr(exc)[:120]))
+            return None, {}, b""
+
+    def get_challenge():
+        _, hdrs, _ = post("/synthesize?duration=1.0", expect={402},
+                          tag="challenge")
+        hdr = {k.lower(): v for k, v in hdrs.items()}.get("payment-required")
+        return json.loads(base64.b64decode(hdr))["accepts"][0]
+
+    accept = get_challenge()
+
+    def attacker(i):
+        post(f"/synthesize?duration={'nan' if i % 3 == 0 else 'inf'}",
+             expect={400}, tag="nonfinite")
+        post("/synthesize?duration=1e9", expect={400}, tag="oversized")
+        post("/synthesize?duration=1.0", payload=b"not multipart at all",
+             expect={400, 402}, tag="garbage-body")
+        post("/synthesize?duration=1.0",
+             headers={"x-payment": "AAAA"}, expect={402}, tag="bad-payment")
+        # raw socket: negative content-length must get a 400, not a hang
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=10)
+            s.sendall(b"POST /synthesize HTTP/1.1\r\nhost: x\r\n"
+                      b"content-length: -5\r\n\r\n")
+            s.settimeout(10)
+            data = s.recv(4096)
+            if not data.startswith(b"HTTP/1.1 400"):
+                with lock:
+                    results["errors"].append(("neg-len", data[:40], ""))
+            s.close()
+        except Exception as exc:  # noqa: BLE001
+            with lock:
+                results["errors"].append(("neg-len", "exc", repr(exc)[:120]))
+
+    def payer(i):
+        payment = server.gate.sign_payment(PRIV + i, accept)
+        st, hdrs, data = post("/synthesize?duration=1.0",
+                              headers={"x-payment": payment},
+                              expect={200}, tag="paid")
+        if st == 200:
+            with lock:
+                results["paid_ok"] += 1
+            hl = {k.lower(): v for k, v in hdrs.items()}
+            assert data[:4] == b"RIFF"
+            assert "x-payment-response" in hl
+            # exact replay must 402 (nonce burned at settle)
+            post("/synthesize?duration=1.0",
+                 headers={"x-payment": payment}, expect={402}, tag="replay")
+
+    threads = [threading.Thread(target=attacker, args=(i,)) for i in range(4)]
+    threads += [threading.Thread(target=payer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=90)
+        assert not t.is_alive(), "client thread hung (server unresponsive)"
+
+    assert not results["errors"], results["errors"]
+    assert results["paid_ok"] == 4
+
+    # the server must still be fully alive: health + a fresh paid request
+    st, _, _ = post("/synthesize?duration=1.0", expect={402}, tag="post-402")
+    assert st == 402
+    payment = server.gate.sign_payment(PRIV + 999, get_challenge())
+    st, _, data = post("/synthesize?duration=1.0",
+                       headers={"x-payment": payment}, expect={200},
+                       tag="post-paid")
+    assert st == 200 and data[:4] == b"RIFF"
+    loop.call_soon_threadsafe(loop.stop)
