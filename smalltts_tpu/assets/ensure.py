@@ -45,15 +45,33 @@ def ensure_assets(folders: Iterable[str], root: str = ASSETS_ROOT) -> None:
             "is unavailable; place weights manually"
         ) from exc
     try:
+        import shutil
+
         repo_type = _repo_type()
         for folder in missing:
             print(f"downloading assets/{folder} from {REPO} ({repo_type})")
+            # download into a staging dir and move the folder into place in
+            # ONE rename: downloading straight into root made an interrupted
+            # fetch look complete forever (the skip check is isdir), so a
+            # later load hit missing/truncated weights with no hint that
+            # deleting the folder was the fix (review r3)
+            staging = os.path.join(root, f".partial-{folder}")
+            shutil.rmtree(staging, ignore_errors=True)
             snapshot_download(
                 REPO,
                 repo_type=repo_type,
-                local_dir=root,
+                local_dir=staging,
                 allow_patterns=[f"{folder}/*"],
             )
+            got = os.path.join(staging, folder)
+            if not os.path.isdir(got) or not os.listdir(got):
+                raise RuntimeError(
+                    f"{REPO} has no files under {folder}/ (wrong repo?)")
+            os.makedirs(root, exist_ok=True)
+            final = os.path.join(root, folder)
+            shutil.rmtree(final, ignore_errors=True)
+            os.replace(got, final)
+            shutil.rmtree(staging, ignore_errors=True)
     except Exception as exc:  # zero-egress / offline environments
         raise RuntimeError(
             f"downloading assets {missing} from {REPO} failed ({exc}); "

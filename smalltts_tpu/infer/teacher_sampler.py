@@ -34,23 +34,20 @@ def _cfg_conditions(params, cfg: BackboneConfig, ref, ref_len, ph, ph_mask):
     backbone_forward-based CFG (cfg_velocity) re-runs the style/text
     encoders and every cross-KV projection on EVERY step; conditions don't
     depend on the step, so a 32-step sample re-did that work 32x."""
-    from smalltts_tpu.models.backbone import Conditions, encode_conditions
-    from smalltts_tpu.models.dit import CrossKV
+    from smalltts_tpu.models.backbone import encode_conditions
 
-    cond_c = encode_conditions(params, cfg, ref, ref_len, ph, ph_mask)
-    cond_nt = encode_conditions(params, cfg, ref, ref_len,
-                                jnp.zeros_like(ph), jnp.zeros_like(ph_mask))
-    cond_ns = encode_conditions(params, cfg, jnp.zeros_like(ref),
-                                jnp.zeros_like(ref_len), ph, ph_mask)
-    cross3 = CrossKV(*[
-        jnp.concatenate(leaves, axis=1)  # (L, B, H, T, D): batch axis 1
-        for leaves in zip(cond_c.cross_kv, cond_nt.cross_kv, cond_ns.cross_kv)
-    ])
-    cat0 = lambda f: jnp.concatenate(  # noqa: E731
-        [f(cond_c), f(cond_nt), f(cond_ns)], axis=0)
-    return Conditions(cross3, cat0(lambda c: c.ref_mask),
-                      cat0(lambda c: c.phonemes_mask),
-                      cat0(lambda c: c.ref_seq))
+    # ONE batched encode over the 3x-replicated inputs — the same
+    # [cond, text-dropped, speaker-dropped] replication order cfg_velocity
+    # pins — instead of three sequential passes hand-reassembled by zipping
+    # CrossKV's private field layout (a dit.py layout change silently broke
+    # only that call site, review r3). Identity: encoders act per-sample,
+    # so batching the variants is exact.
+    z = jnp.zeros_like
+    ref3 = jnp.concatenate([ref, ref, z(ref)], axis=0)
+    ref_len3 = jnp.concatenate([ref_len, ref_len, z(ref_len)], axis=0)
+    ph3 = jnp.concatenate([ph, z(ph), ph], axis=0)
+    ph_mask3 = jnp.concatenate([ph_mask, z(ph_mask), ph_mask], axis=0)
+    return encode_conditions(params, cfg, ref3, ref_len3, ph3, ph_mask3)
 
 
 def make_teacher_sampler(

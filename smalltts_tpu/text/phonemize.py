@@ -51,7 +51,12 @@ class EspeakBackend:
         if "/" in path and not os.path.exists(path):
             raise RuntimeError(f"espeak library path {path!r} does not exist")
         self._lib = ctypes.cdll.LoadLibrary(path)
-        self._lock = threading.Lock()
+        # NB: espeak keeps GLOBAL C state, so calls are serialized on the
+        # MODULE-level _backend_lock (shared across instances): an instance
+        # lock let set_backend("espeak") re-run espeak_Initialize under a
+        # different lock while an older instance was mid-TextToPhonemes —
+        # garbage phonemes or a segfault (review r3). Construction itself
+        # runs under _backend_lock (set_backend/_get_backend hold it).
         rate = self._lib.espeak_Initialize(self._AUDIO_OUTPUT_SYNCHRONOUS, 0, None, 0)
         if rate <= 0:
             raise RuntimeError("espeak_Initialize failed")
@@ -83,7 +88,7 @@ class EspeakBackend:
 
     def phonemize(self, text: str) -> str:
         """Phonemize preserving punctuation (espeak drops it natively)."""
-        with self._lock:
+        with _backend_lock:  # module lock: see __init__ on espeak C state
             pieces = []
             for part in _punct_split_re.split(text):
                 if not part:

@@ -433,6 +433,13 @@ def train_distill(
     # multi-host: single-writer checkpoints + coordinator-only logs (see
     # parallel/multihost.py; params are replicated so device_get is local)
     writer = jax.process_index() == 0
+    from smalltts_tpu.utils.profiling import MetricsLogger
+
+    import os as _os
+
+    logger = MetricsLogger(
+        _os.path.join(checkpoint_dir, "metrics.jsonl") if writer else None,
+        echo=writer)
     metrics = {}
     for step in range(train_cfg.num_steps):
         batch = next(data_iter)
@@ -456,13 +463,13 @@ def train_distill(
         # dispatches on every iteration (review r3)
         metrics = {**metrics, "disc_loss": disc_loss, "scorer_loss": scorer_loss}
         if step % 50 == 0 and writer:
-            print(f"step {step}: " + " ".join(
-                f"{k}={float(v):.5f}" for k, v in metrics.items()))
+            logger.log({k: float(v) for k, v in metrics.items()}, step)
         if step % train_cfg.save_every == 0 and step > 1 and writer:
             saver.wait()
             saver.save_pytree(f"{checkpoint_dir}/student_latest.npz", student)
             saver.save_pytree(f"{checkpoint_dir}/scorer_latest.npz", scorer)
             saver.save_pytree(f"{checkpoint_dir}/discriminator_latest.npz", disc)
     saver.close()
+    logger.close()
     # one sync at the end keeps the public return type plain floats
     return student, scorer, disc, {k: float(v) for k, v in metrics.items()}

@@ -66,7 +66,16 @@ def adamw(
         optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay)
     )
     tx = optax.chain(*chain)
-    return optax.masked(tx, trainable_mask(params))
+    # multi_transform ZEROES updates for the stats leaves. optax.masked
+    # passes masked-out updates through UNCHANGED, so the documented
+    # "running stats are masked out of every optimizer" only held because
+    # every current loss runs BN with train=True (zero grads) — a future
+    # eval-mode forward under grad would have silently corrupted the
+    # running stats by +raw_grad per step (review r3).
+    labels = jax.tree.map(
+        lambda t: "train" if t else "freeze", trainable_mask(params))
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels)
 
 
 def teacher_optimizer(params, num_steps: int = 330_000, warmup: int = 1_500):

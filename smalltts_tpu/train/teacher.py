@@ -25,6 +25,7 @@ import optax
 from smalltts_tpu.models.backbone import BackboneConfig, backbone_forward, init_backbone
 from smalltts_tpu.ops.masking import length_mask, masked_mse
 from smalltts_tpu.ops.schedule import apply_noise
+from smalltts_tpu.train import ema
 from smalltts_tpu.train.ema import ema_init, ema_update
 from smalltts_tpu.train.optim import teacher_optimizer
 
@@ -78,7 +79,9 @@ def teacher_loss(params, cfg: BackboneConfig, batch, key,
 def make_teacher_step(cfg: BackboneConfig, tx,
                       train_cfg: TeacherTrainConfig = TeacherTrainConfig()):
     @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def step(params, opt_state, ema_params, batch, key):
+    def step(params, opt_state, ema_params, batch, key, ema_decay=None):
+        # ema_decay: scheduled scalar from train_teacher (ema.ema_decay —
+        # reference warmup semantics); None falls back to the constant
         loss, grads = jax.value_and_grad(teacher_loss)(params, cfg, batch, key,
                                                        train_cfg)
         # failure containment: skip the update on non-finite loss/grads (a bad
@@ -94,7 +97,9 @@ def make_teacher_step(cfg: BackboneConfig, tx,
             lambda new, old: jnp.where(finite, new, old) if hasattr(new, "shape") else new,
             new_opt_state, opt_state,
         )
-        ema_params = ema_update(ema_params, params, train_cfg.ema_beta)
+        ema_params = ema_update(
+            ema_params, params,
+            train_cfg.ema_beta if ema_decay is None else ema_decay)
         return params, opt_state, ema_params, loss
 
     return step
@@ -164,6 +169,16 @@ def train_teacher(
     # Params are dp-replicated (fully addressable per process), so the
     # writer's device_get needs no cross-process gather.
     writer = jax.process_index() == 0
+    # JSONL metrics next to the checkpoints (the reference's
+    # accelerator.log is a silent no-op unless a tracker is configured;
+    # this always leaves a parseable training record)
+    from smalltts_tpu.utils.profiling import MetricsLogger
+
+    import os as _os
+
+    logger = MetricsLogger(
+        _os.path.join(checkpoint_dir, "metrics.jsonl") if writer else None,
+        echo=writer)
 
     for step in range(start_step, train_cfg.num_steps):
         batch = next(data_iter)
@@ -172,10 +187,14 @@ def train_teacher(
             batch = shard_batch(batch, mesh)
         key, k_step = jax.random.split(key)
         params, opt_state, ema_params, loss = step_fn(
-            params, opt_state, ema_params, batch, k_step
+            params, opt_state, ema_params, batch, k_step,
+            jnp.float32(ema.ema_decay(step, train_cfg.ema_beta)),
         )
         if step % log_every == 0 and writer:
-            print(f"step {step}: teacher_loss={float(loss):.4f} lr={float(sched(step)):.2e}")
+            logger.log({"teacher_loss": float(loss),
+                        "lr": float(sched(step)),
+                        "ema_decay": ema.ema_decay(step, train_cfg.ema_beta)},
+                       step)
         if step % train_cfg.save_every == 0 and step > 1 and writer:
             # portable weights (raw + EMA) AND resumable full trainer state
             saver.wait()  # previous save fully on disk before re-snapshot
@@ -187,4 +206,5 @@ def train_teacher(
                  "step": jnp.asarray(step, jnp.int32)},
             )
     saver.close()
+    logger.close()
     return params, ema_params

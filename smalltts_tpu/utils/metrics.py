@@ -20,7 +20,7 @@ def _mel_to_hz(m):
 
 def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
                    fmax: float | None = None) -> np.ndarray:
-    """(n_mels, n_fft//2+1) triangular mel filters (Slaney-style, unnormalized)."""
+    """(n_mels, n_fft//2+1) triangular mel filters (HTK mel scale 2595*log10(1+f/700), unnormalized; NB librosa default is Slaney)."""
     fmax = fmax or sr / 2.0
     mel_pts = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
     hz_pts = _mel_to_hz(mel_pts)

@@ -175,3 +175,48 @@ def test_train_distill_accepts_dp_mesh(tmp_path):
     )
     for name, v in metrics.items():
         assert np.isfinite(v), name
+
+
+def test_ema_decay_warmup_matches_ema_pytorch_semantics():
+    """Reference EMA (ema_pytorch defaults): copy through step 100, then
+    1-(1+epoch)^(-2/3) clamped at beta — a constant 0.9999 from step 0
+    left checkpoint_ema ~86% random init at the first save (review r3)."""
+    from smalltts_tpu.train.ema import ema_decay
+
+    assert ema_decay(0) == 0.0
+    assert ema_decay(101) == 0.0  # epoch 0: still copying
+    d1500 = ema_decay(1500)
+    # epoch = 1500 - 100 - 1 = 1399; decay = 1 - (1 + epoch)^(-2/3)
+    assert abs(d1500 - (1 - 1400 ** (-2 / 3))) < 1e-12
+    assert 0.99 < d1500 < 0.9999
+    d330k = ema_decay(330_000)
+    assert 0.9997 < d330k < 0.9999
+    assert ema_decay(5_000_000) == 0.9999  # clamps at beta
+
+
+def test_teacher_loop_applies_scheduled_ema():
+    """After the first training steps the EMA must equal the params (copy
+    phase), not sit at init like the constant-beta EMA did."""
+    import tempfile
+
+    from smalltts_tpu.train.teacher import TeacherTrainConfig, train_teacher
+    from smalltts_tpu.data.dummy import DummyDataConfig, dummy_batch
+
+    cfgd = DummyDataConfig(batch_size=2, max_phonemes=8, min_phonemes=4,
+                           max_latents=12, min_latents=8, max_ref=8, min_ref=4)
+
+    def data():
+        rng = np.random.default_rng(0)
+        while True:
+            yield dummy_batch(rng, cfgd)
+
+    with tempfile.TemporaryDirectory() as td:
+        params, ema_params = train_teacher(
+            TeacherTrainConfig(num_steps=3, save_every=10**9),
+            model_cfg=TINY_BACKBONE, data_iter=data(),
+            checkpoint_dir=td, log_every=10**9,
+        )[:2]
+    np.testing.assert_allclose(
+        np.asarray(ema_params["velocity"]["w"]),
+        np.asarray(params["velocity"]["w"]), rtol=0, atol=0,
+        err_msg="during ema warmup (step<=100) the EMA must COPY the params")
