@@ -9,6 +9,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -17,6 +18,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "build", "libsmalltts_audio.so")
 _lib = None
 _tried = False
+_build_lock = threading.Lock()  # two threads racing make would both write the .so
 
 
 def _build() -> bool:
@@ -33,6 +35,14 @@ def lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
+    with _build_lock:
+        if _lib is not None or _tried:  # double-checked under the lock
+            return _lib
+        return _load()
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
     _tried = True
     # always run make: it's incremental (~ms when fresh) and rebuilds a
     # stale .so after audio.cc edits — an existing .so alone proved nothing
