@@ -125,6 +125,44 @@ def test_mixed_adversarial_traffic_leaves_server_healthy():
             with lock:
                 results["errors"].append(("neg-len", "exc", repr(exc)[:120]))
 
+    def streamer(i):
+        """Paid chunked stream: header + >=1 audio chunk + clean terminator."""
+        payment = server.gate.sign_payment(PRIV + 100 + i, accept)
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=30)
+            head = (f"POST /synthesize/stream?duration=1.0 HTTP/1.1\r\n"
+                    f"host: x\r\ncontent-type: {ctype}\r\n"
+                    f"x-payment: {payment}\r\n"
+                    f"content-length: {len(body)}\r\n\r\n").encode()
+            s.sendall(head + body)
+            s.settimeout(30)
+            buf = b""
+            while b"\r\n\r\n" not in buf:
+                buf += s.recv(65536)
+            status_line = buf.split(b"\r\n", 1)[0]
+            if b"200" not in status_line:
+                with lock:
+                    results["errors"].append(("stream", status_line[:40], ""))
+                s.close()
+                return
+            while True:
+                chunk = s.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+            s.close()
+            # clean streams END with the chunked terminator; truncations
+            # must not (the abort-without-terminator contract)
+            if not buf.endswith(b"0\r\n\r\n"):
+                with lock:
+                    results["errors"].append(("stream-term", buf[-16:], ""))
+            if b"RIFF" not in buf:
+                with lock:
+                    results["errors"].append(("stream-wav", buf[:40], ""))
+        except Exception as exc:  # noqa: BLE001
+            with lock:
+                results["errors"].append(("stream", "exc", repr(exc)[:120]))
+
     def payer(i):
         payment = server.gate.sign_payment(PRIV + i, accept)
         st, hdrs, data = post("/synthesize?duration=1.0",
@@ -142,6 +180,7 @@ def test_mixed_adversarial_traffic_leaves_server_healthy():
 
     threads = [threading.Thread(target=attacker, args=(i,)) for i in range(4)]
     threads += [threading.Thread(target=payer, args=(i,)) for i in range(4)]
+    threads += [threading.Thread(target=streamer, args=(i,)) for i in range(2)]
     for t in threads:
         t.start()
     for t in threads:
