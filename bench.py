@@ -219,14 +219,22 @@ def main() -> None:
                 # would bake 1.3 GB of literals into the HLO (the remote
                 # compile endpoint rejects the request with HTTP 413)
                 def body(carry, key, params, codec_params):
-                    # key-perturb the ref so NOTHING is loop-invariant (XLA
-                    # would hoist invariant stages out of the scan and the
-                    # probe would under-count)
+                    # key-perturb BOTH conditioning inputs so NOTHING is
+                    # loop-invariant (XLA hoists invariant stages out of
+                    # the scan and the probe under-counts). The phoneme
+                    # jitter keeps ids in-vocab and preserves padding, so
+                    # the text-encoder + cross-KV cost — paid on every real
+                    # call — stays inside the measured loop (review r3: ph
+                    # was constant, so text encoding was hoisted and the
+                    # reported in-graph number was optimistic by its cost).
                     import jax.random as jr
 
                     ref_k = ref + 1e-3 * jr.normal(key, ref.shape, ref.dtype)
+                    jit_ids = jr.randint(key, ph.shape, 0, 3)
+                    ph_k = jnp.where(ph > 0, 1 + ((ph - 1 + jit_ids) % 196),
+                                     ph)
                     audio = pure(params, codec_params, ref_k, ref_lens,
-                                 ph, ph_lens, seq_lens, key, t_bucket)
+                                 ph_k, ph_lens, seq_lens, key, t_bucket)
                     return carry + jnp.sum(audio.astype(jnp.float32)), None
 
                 @jax.jit
@@ -390,9 +398,16 @@ def main() -> None:
         print(json.dumps({"metric": "rtf_5s_batch8", "value": -1.0,
                           "unit": "rtf", "vs_baseline": 0.0}))
         sys.exit(1)
-    key = (5.0, 8) if (5.0, 8) in results else max(
-        (k for k in results if k in baselines), key=lambda db: db[1]
-    )
+    in_baseline = [k for k in results if k in baselines]
+    if (5.0, 8) in results:
+        key = (5.0, 8)
+    elif in_baseline:
+        key = max(in_baseline, key=lambda db: db[1])
+    else:
+        # only extra-scale cells survived (flaky tunnel killed the grid
+        # cells): still emit the one-line JSON on the biggest survivor
+        # instead of crashing on max() of an empty generator (review r3)
+        key = max(results, key=lambda db: db[1])
     ms, rtf, p50, p95 = results[key]
     metric = f"rtf_{key[0]:g}s_batch{key[1]}"
     out = {

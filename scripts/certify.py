@@ -50,9 +50,9 @@ SR = 24_000
 
 
 def _sine(seconds=2.0, freq=220.0):
-    t = np.arange(int(seconds * SR))
-    return (0.4 * np.sin(2 * np.pi * freq * t / SR)
-            + 0.1 * np.sin(2 * np.pi * 3.1 * freq * t / SR)).astype(np.float32)
+    from smalltts_tpu.utils.metrics import probe_sine
+
+    return probe_sine(seconds, SR, freq)
 
 
 class Skip(Exception):
@@ -113,12 +113,22 @@ def stage_espeak_goldens(ctx) -> dict:
         return {"recorded": len(tokens), "path": golden_path,
                 "note": "first espeak-equipped run: goldens recorded"}
     golden = json.load(open(golden_path))
-    drifted = [s for s, got in tokens.items() if golden.get(s) != got]
+    # only sentences PRESENT in the goldens can drift; new fixture
+    # sentences are recorded and extend the baseline (a new sentence used
+    # to hard-fail as "drift" and force deleting the whole file, review r3)
+    drifted = [s for s, got in tokens.items()
+               if s in golden and golden[s] != got]
     if drifted:
         raise AssertionError(
             f"espeak token streams drifted for {len(drifted)} sentence(s): "
             f"{drifted[:3]}")
-    return {"regressed": len(tokens), "path": golden_path}
+    new_keys = [s for s in tokens if s not in golden]
+    if new_keys:
+        golden.update({s: tokens[s] for s in new_keys})
+        with open(golden_path, "w") as f:
+            json.dump(golden, f, indent=0)
+    return {"regressed": len(tokens) - len(new_keys),
+            "recorded_new": len(new_keys), "path": golden_path}
 
 
 def stage_codec_parity(ctx) -> dict:
@@ -331,6 +341,13 @@ def stage_checkpoint_parity(ctx) -> dict:
 def stage_tryme(ctx) -> dict:
     import subprocess
 
+    latents = os.path.join(ctx["assets_root"], "tryme", "latents.npy")
+    if not os.path.exists(latents):
+        # tryme falls back to random weights when assets are absent and
+        # still writes a non-silent wav — a PASS there certifies nothing
+        # about the assets under test (review r3)
+        raise Skip(f"tryme assets absent ({latents}); the hermetic "
+                   "fallback would false-pass")
     out_wav = os.path.join(ctx["repo_root"], "out", "tryme.wav")
     if os.path.exists(out_wav):
         os.remove(out_wav)
@@ -410,6 +427,12 @@ def run_certification(assets_root="assets", out_path="CERTIFY.json",
     from smalltts_tpu.infer.pipeline import estimate_duration
     from smalltts_tpu.text import get_token_ids
 
+    # resolve ONCE and export: every consumer (OnnxCodec/ImportedSmallTTS
+    # defaults, the tryme subprocess, assets.ensure) reads SMALLTTS_ASSETS —
+    # without this, --assets-root silently certified against ./assets
+    # (review r3)
+    assets_root = os.path.abspath(assets_root)
+    os.environ["SMALLTTS_ASSETS"] = assets_root
     ctx = {
         "assets_root": assets_root,
         "repo_root": repo_root,
@@ -418,7 +441,14 @@ def run_certification(assets_root="assets", out_path="CERTIFY.json",
         "duration": estimate_duration(text),
     }
     ctx.update(ctx_extra or {})
-    selected = {s for s in (stages or [name for name, _ in STAGES])}
+    selected = {s.strip() for s in (stages or [name for name, _ in STAGES])}
+    known = {name for name, _ in STAGES}
+    unknown = selected - known
+    if unknown:
+        # a typo'd --stages used to run NOTHING and exit 0 — a green
+        # certification that certified nothing (review r3)
+        raise SystemExit(f"unknown stage(s) {sorted(unknown)}; "
+                         f"available: {sorted(known)}")
     report = {"ts": time.time(), "assets_root": assets_root, "stages": {}}
     for name, fn in STAGES:
         if name not in selected:

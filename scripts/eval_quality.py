@@ -39,9 +39,9 @@ def _load_wav(path: str):
 
 
 def _sine(seconds=2.0, sr=24_000, freq=220.0):
-    t = np.arange(int(seconds * sr))
-    return (0.4 * np.sin(2 * np.pi * freq * t / sr)
-            + 0.1 * np.sin(2 * np.pi * 3.1 * freq * t / sr)).astype(np.float32)
+    from smalltts_tpu.utils.metrics import probe_sine
+
+    return probe_sine(seconds, sr, freq)
 
 
 def main() -> int:

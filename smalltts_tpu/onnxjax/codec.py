@@ -24,14 +24,25 @@ import jax.numpy as jnp
 from smalltts_tpu.onnxjax.interp import OnnxFunction
 from smalltts_tpu.onnxjax.proto import load_model
 
-DEFAULT_ENCODER = "assets/codec/encoder.onnx"
-DEFAULT_DECODER = "assets/codec/decoder.onnx"
+# sentinel: resolve against SMALLTTS_ASSETS at CALL time — a module-import
+# constant baked in whatever cwd/env held when onnxjax.codec was first
+# imported, so certify --assets-root silently probed ./assets (review r3)
+DEFAULT_ENCODER = "<assets>/codec/encoder.onnx"
+DEFAULT_DECODER = "<assets>/codec/decoder.onnx"
+
+
+def _resolve(p: Optional[str]) -> Optional[str]:
+    if p is None:
+        return None
+    root = os.environ.get("SMALLTTS_ASSETS", "assets")
+    return p.replace("<assets>", root, 1) if p.startswith("<assets>") else p
 
 
 def assets_present(
     encoder_path: str = DEFAULT_ENCODER, decoder_path: str = DEFAULT_DECODER
 ) -> bool:
-    return os.path.isfile(encoder_path) and os.path.isfile(decoder_path)
+    return (os.path.isfile(_resolve(encoder_path))
+            and os.path.isfile(_resolve(decoder_path)))
 
 
 class OnnxCodec:
@@ -47,6 +58,8 @@ class OnnxCodec:
         encoder_path: Optional[str] = DEFAULT_ENCODER,
         decoder_path: Optional[str] = DEFAULT_DECODER,
     ) -> None:
+        encoder_path = _resolve(encoder_path)
+        decoder_path = _resolve(decoder_path)
         self._enc = self._dec = None
         params = {}
         if encoder_path is not None:

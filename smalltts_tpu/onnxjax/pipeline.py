@@ -61,19 +61,30 @@ class ImportedSmallTTS:
 
     def __init__(
         self,
-        cond_encoder_path: str = "assets/dmd/condition_encoder.onnx",
-        denoiser_path: str = "assets/dmd/denoiser.onnx",
-        codec_decoder_path: str = "assets/codec/decoder.onnx",
+        cond_encoder_path: Optional[str] = None,
+        denoiser_path: Optional[str] = None,
+        codec_decoder_path: Optional[str] = None,
         codec_encoder_path: Optional[str] = None,
         num_steps: int = NUM_STEPS,
         seed: int = 0,
     ) -> None:
+        import os as _os
+
+        # None -> the published layout under SMALLTTS_ASSETS, resolved at
+        # CALL time (an import-time "assets/..." constant ignored
+        # certify --assets-root and probed the cwd, review r3)
+        root = _os.environ.get("SMALLTTS_ASSETS", "assets")
+        cond_encoder_path = cond_encoder_path or _os.path.join(
+            root, "dmd", "condition_encoder.onnx")
+        denoiser_path = denoiser_path or _os.path.join(
+            root, "dmd", "denoiser.onnx")
+        codec_decoder_path = codec_decoder_path or _os.path.join(
+            root, "codec", "decoder.onnx")
+
         def load(path):
             # base_dir anchors external-data initializers to the MODEL's
             # directory (large exports split weights into sidecar files);
             # resolving them against the cwd silently loads the wrong bytes
-            import os as _os
-
             return OnnxFunction(load_model(path),
                                 base_dir=_os.path.dirname(path) or ".")
 
@@ -177,9 +188,11 @@ class ImportedSmallTTS:
         return np.asarray(out)[0]
 
 
-def assets_present(root: str = "assets") -> bool:
+def assets_present(root: str = None) -> bool:
     import os
 
+    if root is None:
+        root = os.environ.get("SMALLTTS_ASSETS", "assets")
     return all(
         os.path.isfile(os.path.join(root, p))
         for p in ("dmd/condition_encoder.onnx", "dmd/denoiser.onnx",

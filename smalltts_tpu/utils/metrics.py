@@ -18,6 +18,17 @@ def _mel_to_hz(m):
     return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
 
 
+def probe_sine(seconds: float = 2.0, sr: int = 24_000,
+               freq: float = 220.0):
+    """The harness-shared probe waveform (fundamental + 3.1x harmonic) —
+    certify and eval_quality must measure the SAME input signal."""
+    import numpy as np
+
+    t = np.arange(int(seconds * sr))
+    return (0.4 * np.sin(2 * np.pi * freq * t / sr)
+            + 0.1 * np.sin(2 * np.pi * 3.1 * freq * t / sr)).astype(np.float32)
+
+
 def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
                    fmax: float | None = None) -> np.ndarray:
     """(n_mels, n_fft//2+1) triangular mel filters (HTK mel scale 2595*log10(1+f/700), unnormalized; NB librosa default is Slaney)."""
