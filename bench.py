@@ -414,7 +414,8 @@ def main() -> None:
         "metric": metric,
         "value": round(rtf, 6),
         "unit": "rtf",
-        "vs_baseline": round(baselines[key] / rtf, 3),
+        # 0.0 when the surviving cell has no reference baseline (scale-only)
+        "vs_baseline": round(baselines.get(key, 0.0) / rtf, 3),
         "latency_p50_ms": round(p50, 2),
         "latency_p95_ms": round(p95, 2),
         "compute_ms": round(ms, 2),
@@ -427,4 +428,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as exc:  # noqa: BLE001
+        # the driver consumes ONE JSON line; a tunnel-down backend-init
+        # crash must still produce a parseable record, not a bare traceback
+        print(json.dumps({"metric": "rtf_5s_batch8", "value": -1.0,
+                          "unit": "rtf", "vs_baseline": 0.0,
+                          "error": f"{type(exc).__name__}: {exc}"[:300]}))
+        sys.exit(1)
