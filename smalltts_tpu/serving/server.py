@@ -73,6 +73,7 @@ class TTSServer:
         read_timeout_s: float = READ_TIMEOUT_S,
         ref_cache_size: int = 64,
         static_dir: Optional[str] = None,
+        voices_dir: Optional[str] = None,
     ) -> None:
         # optional single-binary deployment: serve the web client (GET / ->
         # index.html, plus /samples/*) from the same origin as the API, so
@@ -82,6 +83,9 @@ class TTSServer:
         import os
 
         self.static_dir = os.path.realpath(static_dir) if static_dir else None
+        # named voices for the OpenAI-compatible endpoint: <name>.npy
+        # (reference latents) or <name>.wav (encoded lazily, LRU-cached)
+        self.voices_dir = os.path.realpath(voices_dir) if voices_dir else None
         self._tts = tts
         self.read_timeout_s = read_timeout_s
         # dedicated pool for host-side request work (phonemize, reference
@@ -252,9 +256,128 @@ class TTSServer:
             return await self._synthesize(query, headers, body)
         if method == "POST" and path == "/synthesize/stream":
             return await self._synthesize(query, headers, body, stream=True)
+        if method == "POST" and path == "/v1/audio/speech":
+            return await self._openai_speech(headers, body)
+        if method == "GET" and path == "/v1/voices":
+            return (200, [("content-type", "application/json"), *CORS_HEADERS],
+                    json.dumps({"voices": sorted(self._voice_files())}).encode())
         if method == "GET" and self.static_dir is not None:
             return self._serve_static(path)
         return 404, list(CORS_HEADERS), b"not found"
+
+    # --------------------------------------------- OpenAI-compatible API
+
+    def _voice_files(self) -> Dict[str, str]:
+        """{voice_name: path} from voices_dir (*.npy latents / *.wav clips)."""
+        import os
+
+        out: Dict[str, str] = {}
+        if self.voices_dir and os.path.isdir(self.voices_dir):
+            for f in os.listdir(self.voices_dir):
+                stem, ext = os.path.splitext(f)
+                if ext.lower() in (".npy", ".wav"):
+                    # .npy beats .wav for the same name (already encoded)
+                    if stem not in out or ext.lower() == ".npy":
+                        out[stem] = os.path.join(self.voices_dir, f)
+        return out
+
+    def _voice_latents(self, name: str):
+        """Reference latents for a named voice (encodes .wav lazily through
+        the same content-hash LRU the multipart path uses)."""
+        import numpy as np
+
+        path = self._voice_files().get(name)
+        if path is None:
+            raise KeyError(name)
+        if path.endswith(".npy"):
+            return np.load(path).astype(np.float32)
+        raw = open(path, "rb").read()
+        samples = self.audio.decode_and_resample(raw, 24_000)
+        return self._encode_reference_cached(samples, raw)
+
+    async def _openai_speech(self, headers, body):
+        """POST /v1/audio/speech — OpenAI TTS wire shape: JSON
+        {"input": text, "voice": name, "response_format": "wav"} -> audio.
+        `model` is accepted and ignored (one model serves); only wav (and
+        its alias pcm semantics via wav) is supported. Payment gating uses
+        the estimated duration like the reference prices ?duration=."""
+        from smalltts_tpu.infer.pipeline import estimate_duration
+
+        try:
+            req = json.loads(body.decode("utf-8"))
+        except Exception:
+            return 400, list(CORS_HEADERS), b"invalid JSON body"
+        text = req.get("input")
+        if not isinstance(text, str) or not text.strip():
+            return 400, list(CORS_HEADERS), b"missing 'input'"
+        fmt = req.get("response_format", "wav")
+        if fmt not in ("wav",):
+            return (400, list(CORS_HEADERS),
+                    f"unsupported response_format {fmt!r}; only 'wav'".encode())
+        voice = req.get("voice", "default")
+        duration = estimate_duration(text)
+
+        if self._draining:
+            return (503, [("retry-after", "5"), *CORS_HEADERS], b"draining")
+        resource = "/v1/audio/speech"
+        loop = asyncio.get_running_loop()
+        if self.gate.blocking:
+            allowed, challenge = await loop.run_in_executor(
+                self._pool, self.gate.check, headers, duration, resource)
+        else:
+            allowed, challenge = self.gate.check(headers, duration, resource)
+        if not allowed:
+            return 402, [("payment-required", challenge), *CORS_HEADERS], b""
+
+        self._active += 1
+        try:
+            try:
+                ref_latents = await loop.run_in_executor(
+                    self._pool, self._voice_latents, voice)
+            except KeyError:
+                known = sorted(self._voice_files())
+                return (400, list(CORS_HEADERS),
+                        f"unknown voice {voice!r}; available: {known}".encode())
+            try:
+                token_ids = await loop.run_in_executor(
+                    self._pool, self.tokenize, text)
+            except Exception as exc:
+                return (500, list(CORS_HEADERS),
+                        f"phonemize failed: {exc}".encode())
+            from smalltts_tpu.serving.batcher import QueueFull
+
+            t0 = time.perf_counter()
+            try:
+                batcher = await loop.run_in_executor(
+                    self._pool, self._ensure_pipeline)
+                fut = batcher.submit(ref_latents, token_ids, duration)
+                audio = await asyncio.wrap_future(fut)
+            except QueueFull:
+                self.stats.rejected += 1
+                return (503, [("retry-after", "1"), *CORS_HEADERS],
+                        b"server saturated, retry later")
+            except Exception as exc:
+                return (500, list(CORS_HEADERS),
+                        f"inference failed: {exc}".encode())
+            self.stats.requests += 1
+            self.stats.synth_ms.append((time.perf_counter() - t0) * 1e3)
+
+            extra_headers = []
+            if self.gate.settles:
+                receipt = await loop.run_in_executor(
+                    self._pool, self.gate.settle,
+                    headers.get("x-payment", ""), duration, resource)
+                if receipt is None:
+                    _, challenge = self.gate.check({}, duration, resource)
+                    return (402,
+                            [("payment-required", challenge), *CORS_HEADERS],
+                            b"payment settlement failed")
+                extra_headers.append(("x-payment-response", receipt))
+            wav = self.audio.encode_wav(audio.reshape(-1), 24_000)
+            return (200, [("content-type", "audio/wav"), *extra_headers,
+                          *CORS_HEADERS], wav)
+        finally:
+            self._active -= 1
 
     _STATIC_TYPES = {".html": "text/html; charset=utf-8",
                      ".json": "application/json", ".wav": "audio/wav",
@@ -730,6 +853,9 @@ def main() -> None:
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--compile-cache", default="~/.cache/smalltts_tpu/xla",
                     help="persistent XLA compilation cache dir ('' disables)")
+    ap.add_argument("--voices", default=None, metavar="DIR",
+                    help="named-voice directory for /v1/audio/speech "
+                         "(<name>.npy reference latents or <name>.wav)")
     ap.add_argument("--static", default=None, metavar="DIR",
                     help="serve a static web client from DIR at GET / "
                          "(e.g. website/); same-origin, so the page needs "
@@ -751,7 +877,8 @@ def main() -> None:
             n = tts.warmup(batch_sizes=(1, args.max_batch), progress=True)
             print(f"warmed {n} executables; in-contract requests never compile")
     srv = TTSServer(tts=tts, x402_cfg=X402Config(mode=args.payments),
-                    max_batch=args.max_batch, static_dir=args.static)
+                    max_batch=args.max_batch, static_dir=args.static,
+                    voices_dir=args.voices)
     if tts is not None:
         srv._ensure_pipeline()  # warmed servers report /ready immediately
     asyncio.run(srv.run(args.host, args.port))

@@ -610,3 +610,89 @@ def test_duration_beyond_bucket_cap_rejected_before_payment():
         "POST", "/synthesize", {"duration": str(max_sec)},
         {"content-type": "multipart/form-data; boundary=X"}, b"--X--"))
     assert status == 402
+
+
+def test_openai_speech_endpoint(tmp_path):
+    """POST /v1/audio/speech: OpenAI TTS wire shape -> WAV with a named
+    voice from --voices (npy latents and lazily-encoded wav clips);
+    /v1/voices lists them; unknown voice/format/body 400."""
+    import jax
+
+    from tiny import TINY_BACKBONE, TINY_CODEC
+    from smalltts_tpu.infer.pipeline import SmallTTS
+    from smalltts_tpu.models.backbone import init_backbone
+    from smalltts_tpu.models.codec import init_codec
+
+    rng = np.random.RandomState(0)
+    np.save(tmp_path / "alice.npy", rng.randn(8, 64).astype(np.float32))
+    t = np.arange(12000) / 24000.0
+    (tmp_path / "bob.wav").write_bytes(
+        encode_wav(0.3 * np.sin(2 * np.pi * 200 * t).astype(np.float32), 24000))
+
+    tts = SmallTTS(
+        init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE),
+        init_codec(jax.random.PRNGKey(1), TINY_CODEC),
+        cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
+    )
+    server = TTSServer(tts=tts, x402_cfg=X402Config(mode="disabled"),
+                       tokenizer=lambda text: [1, 2, 3],
+                       voices_dir=str(tmp_path))
+
+    st, hdrs, body = run(server.handle("GET", "/v1/voices", {}, {}, b""))
+    assert st == 200 and json.loads(body)["voices"] == ["alice", "bob"]
+
+    def speech(payload):
+        return run(server.handle("POST", "/v1/audio/speech", {}, {},
+                                 json.dumps(payload).encode()))
+
+    for voice in ("alice", "bob"):
+        st, hdrs, wav = speech({"model": "anything", "input": "hello world",
+                                "voice": voice})
+        assert st == 200, (voice, wav[:100])
+        assert ("content-type", "audio/wav") in hdrs
+        assert wav[:4] == b"RIFF" and len(wav) > 1000
+
+    st, _, body = speech({"input": "x", "voice": "nobody"})
+    assert st == 400 and b"available" in body
+    st, _, body = speech({"input": "x", "voice": "alice",
+                          "response_format": "mp3"})
+    assert st == 400 and b"response_format" in body
+    st, _, _ = run(server.handle("POST", "/v1/audio/speech", {}, {},
+                                 b"not json"))
+    assert st == 400
+    st, _, _ = speech({"voice": "alice"})  # missing input
+    assert st == 400
+
+
+def test_openai_speech_payment_gated(tmp_path):
+    """The OpenAI endpoint prices on estimated duration, names ITSELF in
+    the challenge resource, settles after serving, and denies replays."""
+    import base64
+
+    rng = np.random.RandomState(1)
+    np.save(tmp_path / "v.npy", rng.randn(8, 64).astype(np.float32))
+
+    class _Fast:
+        def synthesize_padded(self, ref, *a, **k):
+            return np.zeros((ref.shape[0], 1, 8 * 3200), np.float32)
+
+    server = TTSServer(tts=_Fast(), x402_cfg=X402Config(mode="local"),
+                       tokenizer=lambda text: [1, 2],
+                       voices_dir=str(tmp_path))
+    payload = json.dumps({"input": "pay me", "voice": "v"}).encode()
+
+    st, hdrs, _ = run(server.handle("POST", "/v1/audio/speech", {}, {},
+                                    payload))
+    assert st == 402
+    challenge = dict(hdrs)["payment-required"]
+    accept = json.loads(base64.b64decode(challenge))["accepts"][0]
+    assert accept["resource"].endswith("/v1/audio/speech")
+
+    payment = server.gate.sign_payment(0xF00D, accept)
+    st, hdrs, wav = run(server.handle("POST", "/v1/audio/speech", {},
+                                      {"x-payment": payment}, payload))
+    assert st == 200 and wav[:4] == b"RIFF"
+    assert "x-payment-response" in dict(hdrs)
+    st, _, _ = run(server.handle("POST", "/v1/audio/speech", {},
+                                 {"x-payment": payment}, payload))
+    assert st == 402  # nonce burned at settle
