@@ -307,6 +307,10 @@ class TTSServer:
             req = json.loads(body.decode("utf-8"))
         except Exception:
             return 400, list(CORS_HEADERS), b"invalid JSON body"
+        if not isinstance(req, dict):
+            # a JSON array/string/number parsed fine but crashed .get()
+            # with no response (found by tests/test_serving_fuzz.py)
+            return 400, list(CORS_HEADERS), b"body must be a JSON object"
         text = req.get("input")
         if not isinstance(text, str) or not text.strip():
             return 400, list(CORS_HEADERS), b"missing 'input'"
