@@ -66,10 +66,13 @@ def _wav(seconds=0.3, sr=24_000):
     return encode_wav(0.3 * np.sin(2 * np.pi * 440 * t), sr)
 
 
-def test_mixed_adversarial_traffic_leaves_server_healthy():
+def test_mixed_adversarial_traffic_leaves_server_healthy(tmp_path):
     # bounded by per-thread join timeouts below (no pytest-timeout in env)
+    np.save(tmp_path / "demo.npy",
+            np.random.RandomState(5).randn(8, 64).astype(np.float32))
     server = TTSServer(tts=_FastTTS(), x402_cfg=X402Config(mode="local"),
-                       tokenizer=lambda t: [1, 2, 3])
+                       tokenizer=lambda t: [1, 2, 3],
+                       voices_dir=str(tmp_path))
     port, loop = _start(server)
     body, ctype = build_multipart({"audio": _wav(), "text": "chaos"})
     results = {"paid_ok": 0, "errors": []}
@@ -178,9 +181,41 @@ def test_mixed_adversarial_traffic_leaves_server_healthy():
             post("/synthesize?duration=1.0",
                  headers={"x-payment": payment}, expect={402}, tag="replay")
 
+    def openai_payer(i):
+        """Paid /v1/audio/speech with a named voice + malformed JSON abuse."""
+        post("/v1/audio/speech", payload=b'[1,2,3]',
+             headers={"content-type": "application/json"},
+             expect={400, 402}, tag="openai-nonobject")
+        payment = server.gate.sign_payment(PRIV + 200 + i, accept2)
+        req = json.dumps({"input": "chaos speech", "voice": "demo"}).encode()
+        st, hdrs, data = post("/v1/audio/speech", payload=req,
+                              headers={"content-type": "application/json",
+                                       "x-payment": payment},
+                              expect={200}, tag="openai-paid")
+        if st == 200:
+            assert data[:4] == b"RIFF"
+            hl = {k.lower(): v for k, v in hdrs.items()}
+            assert "x-payment-response" in hl
+
+    # the OpenAI endpoint prices on the text's estimated duration, so its
+    # challenge differs from /synthesize?duration=1.0 — fetch it once
+    def get_openai_challenge():
+        _, hdrs, _ = post("/v1/audio/speech",
+                          payload=json.dumps(
+                              {"input": "chaos speech", "voice": "demo"}
+                          ).encode(),
+                          headers={"content-type": "application/json"},
+                          expect={402}, tag="openai-challenge")
+        hdr = {k.lower(): v for k, v in hdrs.items()}.get("payment-required")
+        return json.loads(base64.b64decode(hdr))["accepts"][0]
+
+    accept2 = get_openai_challenge()
+
     threads = [threading.Thread(target=attacker, args=(i,)) for i in range(4)]
     threads += [threading.Thread(target=payer, args=(i,)) for i in range(4)]
     threads += [threading.Thread(target=streamer, args=(i,)) for i in range(2)]
+    threads += [threading.Thread(target=openai_payer, args=(i,))
+                for i in range(2)]
     for t in threads:
         t.start()
     for t in threads:
