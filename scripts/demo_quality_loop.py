@@ -36,6 +36,9 @@ def main() -> int:
     ap.add_argument("--asr-steps", type=int, default=400)
     ap.add_argument("--sv-steps", type=int, default=200)
     ap.add_argument("--sample-steps", type=int, default=32)
+    ap.add_argument("--samples-out", default=None, metavar="DIR",
+                    help="write reference/generated wav pairs + index.json "
+                         "for the website sample player (server --static)")
     ap.add_argument("--device", default="cpu", choices=["cpu", "ambient"],
                     help="tiny models are DISPATCH-bound on remote accelerators "
                          "(measured 1.3 s/step over a tunneled TPU vs ~0.1 s on "
@@ -154,6 +157,34 @@ def main() -> int:
     }
     stage(f"TTS: mel {mel_tr:.3f} (random {mel_rand:.3f}, floor {floor:.3f}); "
           f"latent mse {lmse_tr:.4f} vs {lmse_rand:.4f} random")
+
+    if args.samples_out:
+        # website sample-player artifacts (reference App.tsx:170+ renders
+        # readme ref/gen pairs; our page reads samples/index.json)
+        import json as _json
+
+        from smalltts_tpu.serving.audio_io import encode_wav
+
+        os.makedirs(args.samples_out, exist_ok=True)
+        b = fresh_batch()
+        lat = sampler(params, b["ref_latents"][:1],
+                      b["ref_latents_lengths"][:1], b["phonemes"][:1],
+                      b["phonemes_lengths"][:1],
+                      jnp.full((1,), T, jnp.int32), jax.random.PRNGKey(0), T)
+        gen = np.asarray(
+            codec_decode(cp, lat.astype(jnp.float32), TINY_CODEC))[0, 0]
+        with open(os.path.join(args.samples_out, "demo_ref.wav"), "wb") as f:
+            f.write(encode_wav(gt, 24_000))
+        with open(os.path.join(args.samples_out, "demo_gen.wav"), "wb") as f:
+            f.write(encode_wav(gen, 24_000))
+        with open(os.path.join(args.samples_out, "index.json"), "w") as f:
+            _json.dump({"samples": [{
+                "text": f"synthetic-corpus demo: {args.text!r} "
+                        f"(tiny model trained from scratch in-repo; "
+                        f"pseudo-speech, not a human voice)",
+                "ref": "demo_ref.wav", "gen": "demo_gen.wav",
+            }]}, f, indent=1)
+        stage(f"samples written to {args.samples_out}")
 
     # ---- 3) ASR
     asr = init_asr(jax.random.PRNGKey(3), TINY_ASR64)
