@@ -289,7 +289,7 @@ class TTSServer:
         path = self._voice_files().get(name)
         if path is None:
             raise KeyError(name)
-        if path.endswith(".npy"):
+        if path.lower().endswith(".npy"):  # listing matched ext.lower()
             return np.load(path).astype(np.float32)
         raw = open(path, "rb").read()
         samples = self.audio.decode_and_resample(raw, 24_000)
@@ -333,8 +333,22 @@ class TTSServer:
         if not allowed:
             return 402, [("payment-required", challenge), *CORS_HEADERS], b""
 
+        if not isinstance(voice, str):
+            return 400, list(CORS_HEADERS), b"'voice' must be a string"
         self._active += 1
         try:
+            from smalltts_tpu.serving.batcher import QueueFull
+
+            # pipeline BEFORE voice encode: a .wav voice encodes through
+            # self._tts, which is None on a lazily-initialized server until
+            # _ensure_pipeline constructs it (review r3: crashed with
+            # AttributeError and no HTTP response)
+            try:
+                batcher = await loop.run_in_executor(
+                    self._pool, self._ensure_pipeline)
+            except Exception as exc:
+                return (500, list(CORS_HEADERS),
+                        f"pipeline init failed: {exc}".encode())
             try:
                 ref_latents = await loop.run_in_executor(
                     self._pool, self._voice_latents, voice)
@@ -342,18 +356,19 @@ class TTSServer:
                 known = sorted(self._voice_files())
                 return (400, list(CORS_HEADERS),
                         f"unknown voice {voice!r}; available: {known}".encode())
+            except Exception as exc:
+                # corrupt/truncated voice file, racing deletion, ... — a
+                # clean 500 beats a dropped connection (review r3)
+                return (500, list(CORS_HEADERS),
+                        f"voice {voice!r} failed to load: {exc}".encode())
             try:
                 token_ids = await loop.run_in_executor(
                     self._pool, self.tokenize, text)
             except Exception as exc:
                 return (500, list(CORS_HEADERS),
                         f"phonemize failed: {exc}".encode())
-            from smalltts_tpu.serving.batcher import QueueFull
-
             t0 = time.perf_counter()
             try:
-                batcher = await loop.run_in_executor(
-                    self._pool, self._ensure_pipeline)
                 fut = batcher.submit(ref_latents, token_ids, duration)
                 audio = await asyncio.wrap_future(fut)
             except QueueFull:
@@ -382,6 +397,7 @@ class TTSServer:
                           *CORS_HEADERS], wav)
         finally:
             self._active -= 1
+            self.gate.release(headers.get("x-payment", ""))
 
     _STATIC_TYPES = {".html": "text/html; charset=utf-8",
                      ".json": "application/json", ".wav": "audio/wav",
@@ -399,7 +415,10 @@ class TTSServer:
         # the realpath containment below already defuses decoded ../
         path = urllib.parse.unquote(path)
         rel = "index.html" if path in ("/", "") else path.lstrip("/")
-        full = os.path.realpath(os.path.join(self.static_dir, rel))
+        try:
+            full = os.path.realpath(os.path.join(self.static_dir, rel))
+        except ValueError:  # embedded NUL: GET /%00 must 404, not crash
+            return 404, list(CORS_HEADERS), b"not found"
         if full != self.static_dir and not full.startswith(
                 self.static_dir + os.sep):
             return 404, list(CORS_HEADERS), b"not found"
@@ -429,6 +448,11 @@ class TTSServer:
             return await self._synthesize_inner(query, headers, body, stream)
         finally:
             self._active -= 1
+            # free the check-time nonce reservation: a request that failed
+            # between check and settle stays retryable; after a successful
+            # settle the nonce is burned and this is a no-op (and so is an
+            # unreserved nonce, so denied requests are safe too)
+            self.gate.release(headers.get("x-payment", ""))
 
     async def _synthesize_inner(self, query, headers, body, stream: bool):
         try:
@@ -619,7 +643,7 @@ class TTSServer:
         # must not synthesize more audio than was paid for — otherwise a
         # 0.1 s payment buys a 30-minute text (review r3). Trust mode keeps
         # the documented behavior: duration is a hint, the full text streams.
-        paid_budget = duration if self.gate.blocking else None
+        paid_budget = duration if self.gate.enforcing else None
 
         async def gen():
             self._active += 1

@@ -121,6 +121,14 @@ class X402Gate:
     def __init__(self, cfg: X402Config = None) -> None:
         self.cfg = cfg or X402Config()
         self._seen_nonces: "OrderedDict[bytes, None]" = OrderedDict()
+        # nonces reserved by an in-flight request: check() reserves, settle()
+        # burns, release() frees on failure. Without the reservation, ONE
+        # signed payment authorized unbounded CONCURRENT synthesis — all
+        # copies passed the side-effect-free check, did the TPU work, and
+        # only the first settle succeeded (paid-once compute amplification,
+        # review r3). Sequential retry-after-failure still works: the
+        # server releases the reservation on every non-success path.
+        self._pending_nonces: set = set()
         self._nonce_lock = threading.Lock()
 
     def payment_required_header(self, duration_sec: float, resource: str) -> str:
@@ -225,8 +233,15 @@ class X402Gate:
                     return False
                 if burn:
                     self._seen_nonces[nonce] = None
+                    self._pending_nonces.discard(nonce)
                     while len(self._seen_nonces) > _NONCE_CAP:
                         self._seen_nonces.popitem(last=False)
+                else:
+                    # reserve: a concurrent duplicate of an in-flight
+                    # payment denies immediately, BEFORE synthesis
+                    if nonce in self._pending_nonces:
+                        return False
+                    self._pending_nonces.add(nonce)
         except Exception:
             return False
         if burn and self.cfg.capture_path:
@@ -310,6 +325,33 @@ class X402Gate:
         if not resp or not resp.get("success", False):
             return None
         return base64.b64encode(json.dumps(resp).encode()).decode()
+
+    def release(self, payment_b64: str) -> None:
+        """Free a check-time nonce reservation after a request fails between
+        check and settle (queue full, bad input, inference error) — the
+        client can retry with the same signed payment. No-op for settled
+        (burned) nonces and for non-local modes."""
+        if self.cfg.mode != "local" or not payment_b64:
+            return
+        from smalltts_tpu.serving import eth
+
+        try:
+            auth = json.loads(base64.b64decode(payment_b64))[
+                "payload"]["authorization"]
+            nonce = eth._hexbytes(auth["nonce"]).ljust(32, b"\x00")
+        except Exception:
+            return
+        with self._nonce_lock:
+            self._pending_nonces.discard(nonce)
+
+    @property
+    def enforcing(self) -> bool:
+        """Whether payments are actually charged (facilitator capture or
+        local burn) — the predicate for value-limiting behaviors like the
+        streaming duration budget. Distinct from `blocking`, which is only
+        about event-loop scheduling (review r3: the budget was keyed on
+        blocking and held by coincidence)."""
+        return self.cfg.mode in ("facilitator", "local")
 
     @property
     def settles(self) -> bool:

@@ -696,3 +696,29 @@ def test_openai_speech_payment_gated(tmp_path):
     st, _, _ = run(server.handle("POST", "/v1/audio/speech", {},
                                  {"x-payment": payment}, payload))
     assert st == 402  # nonce burned at settle
+
+
+def test_failed_request_releases_payment_reservation():
+    """A paid request that fails between check and settle (bad multipart)
+    must leave the payment retryable — the server releases the check-time
+    nonce reservation on every non-success path (review r3)."""
+    import base64
+
+    server = TTSServer(tts=object(), x402_cfg=X402Config(mode="local"))
+    status, hdrs, _ = run(server.handle(
+        "POST", "/synthesize", {"duration": "2.0"},
+        {"content-type": "multipart/form-data; boundary=X"}, b"--X--"))
+    assert status == 402
+    accept = json.loads(base64.b64decode(dict(hdrs)["payment-required"]))[
+        "accepts"][0]
+    payment = server.gate.sign_payment(0xBEEF, accept)
+
+    # paid but the body is broken multipart -> 400; reservation must free
+    headers = {"content-type": "multipart/form-data; boundary=X",
+               "x-payment": payment}
+    status, _, _ = run(server.handle(
+        "POST", "/synthesize", {"duration": "2.0"}, headers, b"--X--"))
+    assert status == 400
+    ok, _ = server.gate.check(headers, 2.0, "/synthesize")
+    assert ok, "failed request must not hold the nonce reservation"
+    server.gate.release(payment)  # tidy: undo the probe's own reservation

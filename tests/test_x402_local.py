@@ -32,23 +32,29 @@ def challenge_accept(gate, duration=5.0):
     return json.loads(base64.b64decode(hdr))["accepts"][0]
 
 
-def test_signed_payment_accepted_and_nonce_burned_at_settle():
-    """check() is side-effect-free (a request that 503s between check and
-    settle stays retryable with the same signed payment); settle() burns
-    the nonce, after which both check and a second settle deny (review r3:
-    burning at check time charged clients for 503s)."""
+def test_signed_payment_reserved_at_check_burned_at_settle():
+    """check() RESERVES the nonce (a concurrent duplicate of an in-flight
+    payment denies immediately — one payment must not authorize unbounded
+    parallel synthesis, review r3); release() frees it after a failed
+    request so sequential retry works; settle() burns it for good."""
     gate = make_gate()
     payment = gate.sign_payment(PRIV, challenge_accept(gate))
     ok, challenge = gate.check({"x-payment": payment}, 5.0, "/synthesize")
     assert ok and challenge is None
-    # retry before settle: still allowed — verification had no side effects
+    # concurrent duplicate while in flight: denied BEFORE any work
+    ok_dup, _ = gate.check({"x-payment": payment}, 5.0, "/synthesize")
+    assert not ok_dup
+    # the request failed (e.g. 503): release frees the reservation, and the
+    # same signed payment retries cleanly
+    gate.release(payment)
     ok_retry, _ = gate.check({"x-payment": payment}, 5.0, "/synthesize")
     assert ok_retry
     # settle-after-serve consumes the nonce
     assert gate.settles
     receipt = gate.settle(payment, 5.0)
     assert json.loads(base64.b64decode(receipt))["success"] is True
-    # exact replay: denied at check AND at settle (EIP-3009 nonce uniqueness)
+    # release after settle is a harmless no-op; replay stays denied
+    gate.release(payment)
     ok2, challenge2 = gate.check({"x-payment": payment}, 5.0, "/synthesize")
     assert not ok2 and challenge2
     assert gate.settle(payment, 5.0) is None
