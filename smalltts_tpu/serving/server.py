@@ -448,11 +448,6 @@ class TTSServer:
             return await self._synthesize_inner(query, headers, body, stream)
         finally:
             self._active -= 1
-            # free the check-time nonce reservation: a request that failed
-            # between check and settle stays retryable; after a successful
-            # settle the nonce is burned and this is a no-op (and so is an
-            # unreserved nonce, so denied requests are safe too)
-            self.gate.release(headers.get("x-payment", ""))
 
     async def _synthesize_inner(self, query, headers, body, stream: bool):
         try:
@@ -496,7 +491,23 @@ class TTSServer:
         if not allowed:
             # 402 without body, challenge in the header (e2e.rs:241-253)
             return 402, [("payment-required", challenge), *CORS_HEADERS], b""
+        try:
+            return await self._synthesize_checked(headers, body, duration,
+                                                  stream)
+        finally:
+            # Free this request's check-time nonce reservation so a request
+            # that failed between check and settle stays retryable. ONLY the
+            # request that passed check owns a reservation — releasing on
+            # denied paths too would let a concurrent duplicate's 402 free
+            # the in-flight holder's reservation and reopen the paid-compute
+            # amplification this closes (review r3 continuation). After a
+            # successful settle the nonce is burned and this is a no-op.
+            self.gate.release(headers.get("x-payment", ""))
 
+    async def _synthesize_checked(self, headers, body, duration: float,
+                                  stream: bool):
+        """Everything after the payment gate has ALLOWED the request (the
+        caller owns the nonce reservation and releases it when we return)."""
         content_type = headers.get("content-type", "")
         if "multipart/form-data" not in content_type:
             return 400, list(CORS_HEADERS), b"expected multipart/form-data"

@@ -722,3 +722,41 @@ def test_failed_request_releases_payment_reservation():
     ok, _ = server.gate.check(headers, 2.0, "/synthesize")
     assert ok, "failed request must not hold the nonce reservation"
     server.gate.release(payment)  # tidy: undo the probe's own reservation
+
+
+def test_denied_duplicate_keeps_original_reservation():
+    """Only the request that PASSED check owns (and may release) the nonce
+    reservation. The first cut released in _synthesize's finally for every
+    request, so a concurrent duplicate's 402 freed the in-flight holder's
+    reservation — interleaving duplicate/fresh copies of ONE payment
+    re-enabled unbounded concurrent synthesis (review r3 continuation)."""
+    import base64
+
+    server = TTSServer(tts=object(), x402_cfg=X402Config(mode="local"))
+    status, hdrs, _ = run(server.handle(
+        "POST", "/synthesize", {"duration": "2.0"},
+        {"content-type": "multipart/form-data; boundary=X"}, b"--X--"))
+    assert status == 402
+    accept = json.loads(base64.b64decode(dict(hdrs)["payment-required"]))[
+        "accepts"][0]
+    payment = server.gate.sign_payment(0xBEEF, accept)
+    headers = {"content-type": "multipart/form-data; boundary=X",
+               "x-payment": payment}
+
+    # request A is "in flight": it passed check and holds the reservation
+    ok, _ = server.gate.check(headers, 2.0, "/synthesize")
+    assert ok
+
+    # duplicate B arrives while A synthesizes: denied, AND its (full server
+    # path) completion must not free A's reservation
+    status, _, _ = run(server.handle(
+        "POST", "/synthesize", {"duration": "2.0"}, headers, b"--X--"))
+    assert status == 402
+    ok, _ = server.gate.check(headers, 2.0, "/synthesize")
+    assert not ok, "denied duplicate must not release the holder's reservation"
+
+    # A finishes (releases): the payment becomes retryable again
+    server.gate.release(payment)
+    ok, _ = server.gate.check(headers, 2.0, "/synthesize")
+    assert ok
+    server.gate.release(payment)
