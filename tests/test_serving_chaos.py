@@ -197,6 +197,34 @@ def test_mixed_adversarial_traffic_leaves_server_healthy(tmp_path):
             hl = {k.lower(): v for k, v in hdrs.items()}
             assert "x-payment-response" in hl
 
+    def amplifier(i):
+        """ONE signed payment, many copies — concurrent burst plus
+        sequential interleaves (the pattern that beat the first reservation
+        cut: a denied duplicate's completion freed the holder's
+        reservation). Paid compute must total EXACTLY one 200."""
+        payment = server.gate.sign_payment(PRIV + 300 + i, accept)
+        statuses = []
+        slock = threading.Lock()
+
+        def copy():
+            st, _, _ = post("/synthesize?duration=1.0",
+                            headers={"x-payment": payment},
+                            expect={200, 402}, tag="amp")
+            with slock:
+                statuses.append(st)
+
+        burst = [threading.Thread(target=copy) for _ in range(6)]
+        for t in burst:
+            t.start()
+        for t in burst:
+            t.join(timeout=60)
+        for _ in range(3):  # sequential interleaves after the burst
+            copy()
+        if statuses.count(200) != 1:
+            with lock:
+                results["errors"].append(
+                    ("amplifier", statuses, "must be exactly one 200"))
+
     # the OpenAI endpoint prices on the text's estimated duration, so its
     # challenge differs from /synthesize?duration=1.0 — fetch it once
     def get_openai_challenge():
@@ -215,6 +243,8 @@ def test_mixed_adversarial_traffic_leaves_server_healthy(tmp_path):
     threads += [threading.Thread(target=payer, args=(i,)) for i in range(4)]
     threads += [threading.Thread(target=streamer, args=(i,)) for i in range(2)]
     threads += [threading.Thread(target=openai_payer, args=(i,))
+                for i in range(2)]
+    threads += [threading.Thread(target=amplifier, args=(i,))
                 for i in range(2)]
     for t in threads:
         t.start()
