@@ -191,9 +191,13 @@ def checksum_address(addr: str) -> str:
     return "0x" + out
 
 
-def _rfc6979_k(priv: int, msg_hash: bytes) -> int:
-    """Deterministic nonce per RFC 6979 with HMAC-SHA256 (the construction
-    ethereum tooling uses, so signatures are bit-reproducible across stacks)."""
+def _rfc6979_k_stream(priv: int, msg_hash: bytes):
+    """Deterministic nonce candidates per RFC 6979 with HMAC-SHA256 (the
+    construction ethereum tooling uses, so signatures are bit-reproducible
+    across stacks). A generator: RFC 6979 §3.2 step h retries a rejected k
+    (r==0 or s==0 in the caller) by CONTINUING the HMAC-DRBG stream — the
+    first cut re-hashed msg_hash instead, which would have signed the wrong
+    message had the ~2^-256 retry ever fired."""
     x = priv.to_bytes(32, "big")
     h1 = (int.from_bytes(msg_hash, "big") % N).to_bytes(32, "big")
     v = b"\x01" * 32
@@ -206,7 +210,7 @@ def _rfc6979_k(priv: int, msg_hash: bytes) -> int:
         v = hmac.new(k, v, hashlib.sha256).digest()
         cand = int.from_bytes(v, "big")
         if 1 <= cand < N:
-            return cand
+            yield cand
         k = hmac.new(k, v + b"\x00", hashlib.sha256).digest()
         v = hmac.new(k, v, hashlib.sha256).digest()
 
@@ -215,16 +219,13 @@ def sign_hash(priv: int, msg_hash: bytes) -> bytes:
     """ECDSA over a 32-byte hash -> 65-byte r||s||v signature (v in {27,28}),
     low-s normalized (EIP-2), deterministic k (RFC 6979)."""
     z = int.from_bytes(msg_hash, "big")
-    while True:
-        k = _rfc6979_k(priv, msg_hash)
+    for k in _rfc6979_k_stream(priv, msg_hash):
         rx, ry = _to_affine(_jac_mul(k, _G))
         r = rx % N
         if r == 0:
-            msg_hash = keccak256(msg_hash)  # vanishingly unlikely; re-derive
-            continue
+            continue  # next DRBG candidate (RFC 6979 §3.2 h.3)
         s = (pow(k, N - 2, N) * (z + r * priv)) % N
         if s == 0:
-            msg_hash = keccak256(msg_hash)
             continue
         recid = (ry & 1) | (2 if rx >= N else 0)
         if s > N // 2:

@@ -212,6 +212,23 @@ class X402Gate:
             payload = envelope["payload"]
             auth = payload["authorization"]
             signature = payload["signature"]
+            # Enforce the ON-CHAIN signature shape, not just recoverability:
+            # USDC's FiatToken ECRecover rejects high-s (EIP-2) and v outside
+            # {27,28}, and ECDSA is malleable — (r, N-s, v^1) recovers the
+            # same signer. Without this check a self-malleated signature
+            # passes local verify, the server synthesizes, and the archived
+            # authorization is uncapturable on-chain: free compute. Every
+            # real signer (eth_signTypedData_v4 wallets, eth.sign_hash, the
+            # website burner) emits low-s with v in {27,28} (0/1 raw recid
+            # spellings normalize to those), so no legitimate client is cut.
+            sig_bytes = eth._hexbytes(signature)
+            if len(sig_bytes) != 65:
+                return False
+            s_val = int.from_bytes(sig_bytes[32:64], "big")
+            if s_val > eth.N // 2:
+                return False
+            if sig_bytes[64] not in (0, 1, 27, 28):
+                return False
             signer = eth.recover_typed_data(self.build_typed_data(auth), signature)
             if signer.lower() != str(auth["from"]).lower():
                 return False

@@ -137,6 +137,38 @@ def test_tampered_value_denied():
     assert not ok
 
 
+def test_malleated_signature_denied():
+    """ECDSA malleability: (r, N-s, v^1) recovers the SAME signer, but
+    USDC's on-chain ECRecover rejects high-s (EIP-2) and v outside {27,28}
+    — accepting it locally would serve compute against an authorization the
+    chain won't capture. Local verify must enforce the on-chain shape."""
+    from smalltts_tpu.serving import eth
+
+    gate = make_gate()
+    accept = challenge_accept(gate, duration=2.0)
+    payment = gate.sign_payment(PRIV, accept)
+    env = json.loads(base64.b64decode(payment))
+    sig = bytes.fromhex(env["payload"]["signature"][2:])
+    r, s, v = sig[:32], int.from_bytes(sig[32:64], "big"), sig[64]
+    mall = r + (eth.N - s).to_bytes(32, "big") + bytes([55 - v])  # 27<->28
+
+    # the malleated signature IS cryptographically valid for the same signer
+    typed = gate.build_typed_data(env["payload"]["authorization"])
+    assert eth.recover_typed_data(typed, "0x" + mall.hex()) == \
+        eth.address_from_priv(PRIV)
+
+    env["payload"]["signature"] = "0x" + mall.hex()
+    malleated = base64.b64encode(json.dumps(env).encode()).decode()
+    ok, _ = gate.check({"x-payment": malleated}, 2.0, "/synthesize")
+    assert not ok, "high-s/flipped-v signature must be denied (uncapturable)"
+
+    # the original, low-s spelling still verifies (and wasn't burned by the
+    # denied attempt)
+    ok, _ = gate.check({"x-payment": payment}, 2.0, "/synthesize")
+    assert ok
+    gate.release(payment)
+
+
 def test_unsigned_trust_envelope_denied_in_local_mode():
     unsigned = base64.b64encode(json.dumps({
         "x402Version": 1, "scheme": "exact", "network": "eip155:8453",
