@@ -200,7 +200,9 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+    if sys.argv[1:2] in (["-h"], ["--help"]):
+        print(__doc__.strip())  # help must not spawn workers (review r3)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
     else:
         sys.exit(main())

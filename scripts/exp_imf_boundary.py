@@ -29,6 +29,9 @@ jax.config.update("jax_platforms", "cpu")  # the axon plugin clobbers the env
 
 
 def main():
+    if sys.argv[1:2] in (["-h"], ["--help"]):
+        print(__doc__.strip())
+        return
     probs = [float(a) for a in sys.argv[1:]] or [0.0, 0.25, 0.5]
 
     from test_imf_quality import (  # noqa: E402

@@ -33,6 +33,13 @@ def make_ref_wav() -> bytes:
 
 
 def main() -> None:
+    if sys.argv[1:2] in (["-h"], ["--help"]):
+        # env-driven client (reference test_x402.rs parity) — help must not
+        # POST anywhere (review r3: --help dialed SERVER_URL)
+        print(__doc__.strip())
+        print("\nusage: SERVER_URL=... [PRIVATE_KEY=...] [TEXT=...] "
+              "[DURATION=...] [REF_WAV=...] python scripts/test_x402.py")
+        return
     from smalltts_tpu.serving.multipart import build_multipart
 
     server = os.environ.get("SERVER_URL", "http://localhost:3000")

@@ -17,6 +17,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main() -> None:
+    if sys.argv[1:2] in (["-h"], ["--help"]):
+        # bare-argv CLI (reference tryme parity) — but help must never
+        # fetch assets or touch the backend (review r3: --help downloaded)
+        print(__doc__.strip())
+        print("\nusage: python scripts/tryme.py [TEXT]   (-> out/tryme.wav)")
+        return
     text = sys.argv[1] if len(sys.argv) > 1 else "Hello from smalltts on TPU!"
 
     from smalltts_tpu.assets.ensure import ASSETS_ROOT, ensure_assets
