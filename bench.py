@@ -38,8 +38,38 @@ def _percentile(xs, q):
 
 def main() -> None:
     import os
+    import threading
 
     import jax
+
+    # Backend-init watchdog: a down TPU tunnel makes the first backend touch
+    # HANG (observed: jax.devices() stuck >240 s with the axon client
+    # retrying forever), which no except-handler can catch — the driver's
+    # bench run would produce NO json line at all. Probe from a daemon
+    # thread; on timeout emit the contract line and hard-exit. (A completed
+    # probe leaves the backend initialized for the rest of main.)
+    probe_done = threading.Event()
+    probe_err: list = []
+
+    def _probe():
+        try:
+            jax.devices()
+        except Exception as exc:  # noqa: BLE001 — surfaced via re-raise below
+            probe_err.append(exc)
+        probe_done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "300"))
+    if not probe_done.wait(init_timeout):
+        print(json.dumps({
+            "metric": "rtf_5s_batch8", "value": -1.0, "unit": "rtf",
+            "vs_baseline": 0.0,
+            "error": f"backend init hung >{init_timeout:.0f}s (tunnel down?)",
+        }))
+        sys.stdout.flush()
+        os._exit(1)
+    if probe_err:
+        raise probe_err[0]  # -> the one-line error JSON in __main__
 
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
     try:
@@ -51,8 +81,9 @@ def main() -> None:
     from smalltts_tpu.data.bucketing import HOP_SIZE, SAMPLE_RATE, frames_for_duration
     from smalltts_tpu.infer.pipeline import SmallTTS
 
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
     tts = SmallTTS(seed=0)  # random-init weights: identical FLOPs/shape to trained
-    print(f"device: {jax.devices()[0]}, dtype: {tts.dtype}", file=sys.stderr)
+    print(f"dtype: {tts.dtype}", file=sys.stderr)
 
     ref_frames = frames_for_duration(2.0)  # 2 s reference (bench.rs:5)
     rng = np.random.RandomState(0)
