@@ -103,6 +103,12 @@ def to_mono(samples: np.ndarray) -> np.ndarray:
 
 
 def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    # same attacker-bytes bounds as the numpy backend: sr=1 would make the
+    # C side malloc n_in*24000 floats (multi-GB, unchecked until review r3)
+    from smalltts_tpu.serving.audio_io import check_resample_input
+
+    if sr_in != sr_out:
+        check_resample_input(int(np.asarray(x).shape[-1]), sr_in)
     l = lib()
     assert l is not None
     x = np.ascontiguousarray(x, np.float32)

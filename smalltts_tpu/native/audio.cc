@@ -89,6 +89,7 @@ int stt_decode_wav(const uint8_t* data, long len, float** out, int* channels,
   if (fmt == 1 && bits == 16) {
     n = raw_len / 2;
     buf = (float*)std::malloc(n * sizeof(float));
+    if (!buf) return -6;
     for (long i = 0; i < n; ++i) {
       int16_t v = (int16_t)rd_u16(raw + 2 * i);
       buf[i] = (float)v / 32768.0f;
@@ -96,6 +97,7 @@ int stt_decode_wav(const uint8_t* data, long len, float** out, int* channels,
   } else if (fmt == 1 && bits == 24) {
     n = raw_len / 3;
     buf = (float*)std::malloc(n * sizeof(float));
+    if (!buf) return -6;
     for (long i = 0; i < n; ++i) {
       int32_t v = raw[3 * i] | (raw[3 * i + 1] << 8) | (raw[3 * i + 2] << 16);
       if (v & 0x800000) v -= 0x1000000;
@@ -104,6 +106,7 @@ int stt_decode_wav(const uint8_t* data, long len, float** out, int* channels,
   } else if (fmt == 1 && bits == 32) {
     n = raw_len / 4;
     buf = (float*)std::malloc(n * sizeof(float));
+    if (!buf) return -6;
     for (long i = 0; i < n; ++i) {
       int32_t v = (int32_t)rd_u32(raw + 4 * i);
       buf[i] = (float)((double)v / 2147483648.0);
@@ -111,6 +114,7 @@ int stt_decode_wav(const uint8_t* data, long len, float** out, int* channels,
   } else if (fmt == 3 && bits == 32) {
     n = raw_len / 4;
     buf = (float*)std::malloc(n * sizeof(float));
+    if (!buf) return -6;
     std::memcpy(buf, raw, n * sizeof(float));
   } else {
     return -5;
@@ -134,8 +138,13 @@ void stt_to_mono(const float* in, long frames, int channels, float* out) {
 // windowed-sinc resample, mono float32
 int stt_resample(const float* in, long n_in, int sr_in, int sr_out, float** out,
                  long* n_out) {
+  // defense in depth behind the Python wrapper's bounds: nonpositive rates
+  // (a u32 header rate cast negative) or a failed allocation must return an
+  // error, not write through NULL (the serving path feeds attacker bytes)
+  if (sr_in <= 0 || sr_out <= 0 || n_in < 0) return 1;
   if (sr_in == sr_out) {
     float* buf = (float*)std::malloc(n_in * sizeof(float));
+    if (!buf) return 2;
     std::memcpy(buf, in, n_in * sizeof(float));
     *out = buf;
     *n_out = n_in;
@@ -143,7 +152,9 @@ int stt_resample(const float* in, long n_in, int sr_in, int sr_out, float** out,
   }
   const double ratio = (double)sr_out / sr_in;
   const long n = (long)std::llround((double)n_in * ratio);
+  if (n < 0) return 1;
   float* buf = (float*)std::malloc(n * sizeof(float));
+  if (!buf) return 2;
   // kernel in input-sample units: cutoff fc (<= 1), support width/fc
   const double fc = kRolloff * std::min(1.0, ratio);
   const double support = kWidth / fc;
@@ -166,9 +177,11 @@ int stt_resample(const float* in, long n_in, int sr_in, int sr_out, float** out,
 // mono float32 -> 16-bit PCM WAV with clamp
 int stt_encode_wav16(const float* in, long n, int sample_rate, uint8_t** out,
                      long* out_len) {
+  if (n < 0 || sample_rate <= 0) return 1;
   const long data_len = n * 2;
   const long total = 44 + data_len;
   uint8_t* buf = (uint8_t*)std::malloc(total);
+  if (!buf) return 2;
   auto wr_u32 = [&](long off, uint32_t v) {
     buf[off] = v & 0xff; buf[off + 1] = (v >> 8) & 0xff;
     buf[off + 2] = (v >> 16) & 0xff; buf[off + 3] = (v >> 24) & 0xff;

@@ -24,6 +24,26 @@ KAISER_BETA = 14.769656459379492  # matches torchaudio's default beta (ref utils
 ROLLOFF = 0.94
 LOWPASS_WIDTH = 64
 
+# Resample-input bounds shared by BOTH backends (this module and the C++
+# lib's Python wrapper). The WAV header's sample_rate is attacker bytes on
+# the serving path: sr=1 turns a 1 MB upload into a ~24000x output blowup
+# (and a multi-GB unchecked malloc in the native path — a segfault, not an
+# exception), while a prime sr near 2^31 makes the polyphase filter's tap
+# count 2*width*max(up,down) — hundreds of GB. Bound the rate to the real
+# audio range and the decoded length to an hour BEFORE any allocation.
+MIN_SAMPLE_RATE = 1_000
+MAX_SAMPLE_RATE = 768_000
+MAX_DECODED_SECONDS = 3_600.0
+
+
+def check_resample_input(n_samples: int, sr_in: int) -> None:
+    """Raise ValueError on rates/lengths outside the serving contract."""
+    if not (MIN_SAMPLE_RATE <= sr_in <= MAX_SAMPLE_RATE):
+        raise ValueError(f"unsupported sample rate {sr_in}")
+    if n_samples > MAX_DECODED_SECONDS * sr_in:
+        raise ValueError(
+            f"audio exceeds the {MAX_DECODED_SECONDS:.0f}s decode cap")
+
 
 def backend():
     """The ONE chooser between the native C++ audio lib and this module —
@@ -98,10 +118,22 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int,
     """Polyphase windowed-sinc resampler (kaiser beta 14.77, rolloff 0.94)."""
     if sr_in == sr_out:
         return x.astype(np.float32)
+    check_resample_input(x.shape[-1], sr_in)
     from scipy.signal import resample_poly
 
     g = math.gcd(sr_in, sr_out)
     up, down = sr_out // g, sr_in // g
+    if max(up, down) > 512:
+        # an awkward rate (prime 44101-style) reduces to a huge up/down
+        # pair whose filter would have 2*width*max(up,down) taps; a
+        # bounded rational approximation keeps taps sane at a relative
+        # rate error <= ~6e-5 (inaudible). Every standard rate (8k/11025/
+        # 16k/22.05k/44.1k/48k/96k <-> 24k) reduces exactly below the
+        # threshold and never takes this path.
+        from fractions import Fraction
+
+        fr = Fraction(sr_out, sr_in).limit_denominator(128)
+        up, down = fr.numerator, fr.denominator
     max_rate = max(up, down)
     half_len = width * max_rate
     # cutoff at rolloff * nyquist of the lower rate, normalized to the

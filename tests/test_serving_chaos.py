@@ -197,6 +197,31 @@ def test_mixed_adversarial_traffic_leaves_server_healthy(tmp_path):
             hl = {k.lower(): v for k, v in hdrs.items()}
             assert "x-payment-response" in hl
 
+    def hostile_wav(i):
+        """Paid request whose WAV header claims sr=1 (24000x resample blowup
+        / native malloc segfault pre-review-r3) or a prime near 2^31
+        (hundred-GB filter taps): must 400 cleanly, and the payment must
+        stay retryable (released reservation) for a well-formed retry."""
+        import struct
+
+        sr = 1 if i % 2 == 0 else 2_147_483_647
+        pcm = b"\x00\x00" * 2_000
+        evil = struct.pack(
+            "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE",
+            b"fmt ", 16, 1, 1, sr, sr * 2 % (1 << 32), 2, 16,
+            b"data", len(pcm)) + pcm
+        ebody, ectype = build_multipart({"audio": evil, "text": "boom"})
+        payment = server.gate.sign_payment(PRIV + 400 + i, accept)
+        post("/synthesize?duration=1.0", payload=ebody,
+             headers={"content-type": ectype, "x-payment": payment},
+             expect={400}, tag="hostile-wav")
+        st, _, _ = post("/synthesize?duration=1.0",
+                        headers={"x-payment": payment}, expect={200},
+                        tag="hostile-wav-retry")
+        if st == 200:
+            with lock:
+                results["paid_ok"] += 1
+
     def amplifier(i):
         """ONE signed payment, many copies — concurrent burst plus
         sequential interleaves (the pattern that beat the first reservation
@@ -246,6 +271,8 @@ def test_mixed_adversarial_traffic_leaves_server_healthy(tmp_path):
                 for i in range(2)]
     threads += [threading.Thread(target=amplifier, args=(i,))
                 for i in range(2)]
+    threads += [threading.Thread(target=hostile_wav, args=(i,))
+                for i in range(2)]
     for t in threads:
         t.start()
     for t in threads:
@@ -253,7 +280,7 @@ def test_mixed_adversarial_traffic_leaves_server_healthy(tmp_path):
         assert not t.is_alive(), "client thread hung (server unresponsive)"
 
     assert not results["errors"], results["errors"]
-    assert results["paid_ok"] == 4
+    assert results["paid_ok"] == 6  # 4 payers + 2 hostile-wav retries
 
     # the server must still be fully alive: health + a fresh paid request
     st, _, _ = post("/synthesize?duration=1.0", expect={402}, tag="post-402")
