@@ -732,6 +732,7 @@ class TTSServer:
                 headers: Dict[str, str] = {}
                 header_bytes = len(request_line)
                 too_big = False
+                bad_framing = None
                 while True:
                     line = await asyncio.wait_for(
                         reader.readline(), self.read_timeout_s
@@ -742,11 +743,38 @@ class TTSServer:
                     if header_bytes > HEADER_LIMIT or len(headers) >= MAX_HEADERS:
                         too_big = True
                         break
+                    if line[:1] in (b" ", b"\t"):
+                        # obs-fold continuation: deprecated (RFC 7230 3.2.4)
+                        # and a smuggling primitive when a front proxy joins
+                        # folded lines this parser would treat as separate
+                        bad_framing = b"obsolete header folding"
+                        continue
                     k, _, v = line.decode("latin-1").partition(":")
-                    headers[k.strip().lower()] = v.strip()
+                    k, v = k.strip().lower(), v.strip()
+                    if k == "content-length" and headers.get(k, v) != v:
+                        # duplicate conflicting Content-Length: last-wins
+                        # here could disagree with a first-wins front proxy
+                        # on where this request's body ends (RFC 7230 3.3.3
+                        # mandates rejection)
+                        bad_framing = b"conflicting content-length"
+                    headers[k] = v
                 if too_big:
                     await self._respond(writer, 431, list(CORS_HEADERS),
                                         b"headers too large")
+                    break
+                if "transfer-encoding" in headers:
+                    # this server only frames request bodies by
+                    # Content-Length; silently ignoring a chunked body would
+                    # desync the connection (the body bytes would parse as
+                    # the NEXT request — the classic smuggling vector behind
+                    # a connection-reusing proxy). 501 + close (RFC 7230
+                    # 3.3.1 allows rejecting unsupported transfer codings).
+                    await self._respond(writer, 501, list(CORS_HEADERS),
+                                        b"transfer-encoding not supported")
+                    break
+                if bad_framing is not None:
+                    await self._respond(writer, 400, list(CORS_HEADERS),
+                                        bad_framing)
                     break
                 try:
                     length = int(headers.get("content-length", 0))
@@ -827,6 +855,7 @@ class TTSServer:
                   404: "Not Found", 413: "Payload Too Large",
                   431: "Request Header Fields Too Large",
                   500: "Internal Server Error",
+                  501: "Not Implemented",
                   503: "Service Unavailable"}.get(status, "")
         lines = [f"HTTP/1.1 {status} {reason}"]
         lines += [f"{k}: {v}" for k, v in headers]

@@ -970,3 +970,59 @@ def test_negative_content_length_rejected_400():
         s.close()
     finally:
         loop.call_soon_threadsafe(loop.stop)
+
+
+def test_request_framing_smuggling_vectors_rejected():
+    """Hand-rolled HTTP framing must refuse the classic desync primitives
+    rather than silently mis-framing (review r3 continuation): a chunked
+    request body this server doesn't support would otherwise parse as the
+    NEXT request on the connection (501 + close); duplicate conflicting
+    Content-Length and obs-fold continuations 400 + close (RFC 7230
+    3.3.3 / 3.2.4)."""
+    from smalltts_tpu.serving.server import TTSServer
+    from smalltts_tpu.serving.x402 import X402Config
+
+    server = TTSServer(tts=object(), x402_cfg=X402Config(mode="disabled"))
+    port, loop = _start_server(server)
+
+    def raw(req: bytes) -> bytes:
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s.sendall(req)
+        s.settimeout(5)
+        buf = b""
+        while True:
+            piece = s.recv(4096)
+            if not piece:
+                break
+            buf += piece
+        s.close()
+        return buf
+
+    try:
+        # transfer-encoding: 501, connection closed, and the smuggled
+        # "request" hidden in the chunked body is NEVER answered
+        resp = raw(b"POST /synthesize HTTP/1.1\r\nhost: x\r\n"
+                   b"transfer-encoding: chunked\r\n\r\n"
+                   b"5\r\nAAAAA\r\n0\r\n\r\n"
+                   b"GET /health HTTP/1.1\r\nhost: x\r\n\r\n")
+        assert resp.startswith(b"HTTP/1.1 501"), resp[:60]
+        assert resp.count(b"HTTP/1.1") == 1, "desync: second request answered"
+
+        # conflicting duplicate content-length: 400 + close
+        resp = raw(b"POST /synthesize HTTP/1.1\r\nhost: x\r\n"
+                   b"content-length: 5\r\ncontent-length: 0\r\n\r\nAAAAA")
+        assert resp.startswith(b"HTTP/1.1 400"), resp[:60]
+        assert resp.count(b"HTTP/1.1") == 1
+
+        # obs-fold header continuation: 400 + close
+        resp = raw(b"GET /health HTTP/1.1\r\nhost: x\r\n"
+                   b"x-thing: a\r\n b\r\n\r\n")
+        assert resp.startswith(b"HTTP/1.1 400"), resp[:60]
+
+        # repeated IDENTICAL content-length stays accepted (RFC allows it)
+        resp = raw(b"GET /health HTTP/1.1\r\nhost: x\r\n"
+                   b"content-length: 0\r\ncontent-length: 0\r\n"
+                   b"connection: close\r\n\r\n")
+        assert resp.startswith(b"HTTP/1.1 200"), resp[:60]
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
