@@ -111,9 +111,18 @@ class LocalDataset:
         # releases the GIL, so a thread pool scales with cores
         def prep(pair):
             wav_path, text = pair
-            audio = audio_io.decode_and_resample(
-                open(wav_path, "rb").read(), cfg.sample_rate
-            )
+            try:
+                audio = audio_io.decode_and_resample(
+                    open(wav_path, "rb").read(), cfg.sample_rate
+                )
+            except Exception as exc:  # noqa: BLE001
+                # one corrupt/unsupported file must not kill corpus prep
+                # (pool.map re-raises at collection time otherwise); skip
+                # with a visible reason — mirrors min-length skips below
+                import sys
+
+                print(f"warn: skipping {wav_path}: {exc}", file=sys.stderr)
+                return None
             n = (len(audio) // cfg.hop) * cfg.hop
             if n < cfg.min_latents * cfg.hop:
                 return None

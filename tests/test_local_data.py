@@ -156,3 +156,17 @@ def test_batch_texts_are_transcript_strings(tmp_path):
     batch = ds.sample_batch(np.random.default_rng(0))
     assert all(isinstance(t, str) and t.startswith("hello clip") for t in
                batch["texts"])
+
+
+def test_corrupt_clip_skipped_not_fatal(tmp_path, capfd):
+    """One corrupt (or unsupported-rate) wav must skip with a warning, not
+    kill corpus prep — pool.map re-raises prep exceptions at collection
+    (review r3 continuation; surfaced by the serving-side resample bounds)."""
+    root = tmp_path / "corpus"
+    _write_corpus(str(root), n=3)
+    (root / "bad.wav").write_bytes(b"RIFFgarbage-not-a-wav")
+    (root / "bad.txt").write_text("corrupt clip")
+    ds = LocalDataset(str(root), fake_encode, CFG)
+    assert len(ds) == 3  # the three good clips survive
+    err = capfd.readouterr().err
+    assert "skipping" in err and "bad.wav" in err
