@@ -173,8 +173,10 @@ def auto_mesh(dp: int = 0, tp: int = 1):
                   f"{info['global_devices']} global devices, mesh "
                   f"dp={mesh.shape['dp']} tp={mesh.shape['tp']}")
         return mesh
-    if dp and dp > 1:
-        return make_mesh(dp=dp, tp=tp)
+    if (dp and dp > 1) or tp > 1:
+        # tp > 1 alone must not be silently ignored: dp=None lets make_mesh
+        # derive dp = n_local / tp
+        return make_mesh(dp=dp if dp and dp > 1 else None, tp=tp)
     return None
 
 
