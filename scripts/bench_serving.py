@@ -59,6 +59,10 @@ def main() -> None:
                          "— the metric that justifies streaming")
     ap.add_argument("--sentences", type=int, default=4,
                     help="sentences per streamed request (--stream)")
+    ap.add_argument("--pcm16", action="store_true",
+                    help="serve with in-graph int16 quantization "
+                         "(SmallTTS(pcm16_out=True)): halves device->host "
+                         "result bytes — the A/B for PERF.md's fetch lever")
     args = ap.parse_args()
 
     import os
@@ -73,7 +77,7 @@ def main() -> None:
     from smalltts_tpu.serving.server import TTSServer
     from smalltts_tpu.serving.x402 import X402Config
 
-    tts = SmallTTS(seed=0)
+    tts = SmallTTS(seed=0, pcm16_out=args.pcm16)
     text = "the quick brown fox jumps over it"
     t_buckets = {pick_bucket(frames_for_duration(args.duration), LATENT_BUCKETS)}
     if args.stream:

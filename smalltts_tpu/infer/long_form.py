@@ -63,13 +63,23 @@ def split_sentences(text: str, max_chars: int = 330) -> List[str]:
     return chunks
 
 
+def _as_float(x) -> np.ndarray:
+    """(1, T) waveform -> flat float32 in [-1, 1]. int16 input (a
+    pcm16_out pipeline, infer/pipeline.py) is rescaled so crossfades blend
+    amplitudes, not 32767-scaled integers."""
+    arr = np.asarray(x)
+    if arr.dtype == np.int16:
+        return arr.astype(np.float32).reshape(-1) / 32767.0
+    return arr.astype(np.float32).reshape(-1)
+
+
 def crossfade_concat(parts: Sequence[np.ndarray], fade_ms: float = 20.0,
                      sr: int = SAMPLE_RATE) -> np.ndarray:
     """Concatenate (1, T) waveforms with linear crossfades."""
     fade = int(sr * fade_ms / 1e3)
-    out = np.asarray(parts[0], np.float32).reshape(-1)
+    out = _as_float(parts[0])
     for part in parts[1:]:
-        nxt = np.asarray(part, np.float32).reshape(-1)
+        nxt = _as_float(part)
         f = min(fade, len(out), len(nxt))
         if f > 0:
             ramp = np.linspace(0.0, 1.0, f, dtype=np.float32)
@@ -126,7 +136,7 @@ def stream_synthesize_long(tts, ref_latents: np.ndarray, text: str,
     for chunk in split_sentences(text, max_chars):
         if not chunk.strip():
             continue
-        cur = np.asarray(synth(chunk), np.float32).reshape(-1)
+        cur = _as_float(synth(chunk))
         if cur.size == 0:
             continue
         emit, pending = crossfade_stream_step(pending, cur, fade)

@@ -97,6 +97,7 @@ class SmallTTS:
         sampler: str = "auto",
         w8_modulation: bool = False,
         fused_projections: bool = True,
+        pcm16_out: bool = False,
     ) -> None:
         """`sampler` selects the few-step recurrence:
         - "dmd": the reference-parity 4-step fresh-noise loop;
@@ -120,6 +121,12 @@ class SmallTTS:
           with the reference's published voices;
         - "auto": "onnx" when the ONNX assets are present AND no native
           codec weights were passed, else "native".
+
+        `pcm16_out`: synthesize/synthesize_padded return int16 PCM quantized
+        IN the fused graph (exactly serving/audio_io.pcm16's convention) —
+        halves device->host result bytes and drops the host quantization.
+        Serving opt-in (`serve.py --pcm16`); float consumers (long-form
+        crossfade, quality metrics) must divide by 32767 first.
         """
         self.cfg = cfg or BackboneConfig()
         self.codec_cfg = codec_cfg or CodecConfig()
@@ -233,9 +240,10 @@ class SmallTTS:
             decode_fn = None
             self._encode_fn = jax.jit(partial(codec_encode, cfg=self.codec_cfg))
             self._decode_fn = jax.jit(partial(codec_decode, cfg=self.codec_cfg))
+        self.pcm16_out = pcm16_out
         self._synthesize_fn = make_synthesize_fn(
             self.cfg, self.codec_cfg, num_steps, decode_fn=decode_fn,
-            sampler=sampler,
+            sampler=sampler, pcm16=pcm16_out,
         )
         import threading
 

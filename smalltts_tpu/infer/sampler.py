@@ -131,6 +131,7 @@ def make_synthesize_fn(
     num_steps: int = NUM_STEPS,
     decode_fn=None,
     sampler: str = "dmd",
+    pcm16: bool = False,
 ):
     """Build the fused synthesize graph: (params, codec_params, inputs) -> waveform.
 
@@ -145,6 +146,12 @@ def make_synthesize_fn(
     `sampler`: "dmd" (reference-parity 4-step fresh-noise loop) or "imf"
     (integral-velocity few-step student, train/imf.py — params must carry
     the r_gate leaf; 1-step denoise measured 1.6 ms vs 7.0 ms at batch 8).
+
+    `pcm16`: quantize the waveform to int16 IN the fused graph with exactly
+    serving/audio_io.pcm16's clamp/scale/rint convention (round-half-even in
+    fp32, bit-identical by test). Halves result-fetch bytes (the dominant
+    per-request transfer on a tunneled device: 3.84 MB fp32 -> 1.92 MB at
+    5 s/batch 8) and removes the host-side quantization from encode_wav.
     """
     if decode_fn is None:
         decode_fn = lambda cp, lat: codec_decode(cp, lat, codec_cfg)  # noqa: E731
@@ -175,7 +182,10 @@ def make_synthesize_fn(
                 params, cfg, cond, seq_lengths, t_bucket, key, num_steps, None
             )
         audio = decode_fn(codec_params, latents.astype(jnp.float32))
-        return audio  # (B, 1, t_bucket * hop)
+        if pcm16:
+            x = jnp.clip(audio.astype(jnp.float32), -1.0, 1.0)
+            audio = jnp.rint(x * jnp.float32(32767.0)).astype(jnp.int16)
+        return audio  # (B, 1, t_bucket * hop) float32, or int16 when pcm16
 
     synthesize = jax.jit(_synthesize_pure, static_argnames=("t_bucket",))
     # unjitted body, for composition into larger graphs (bench's in-graph

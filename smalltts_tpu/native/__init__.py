@@ -126,6 +126,13 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 24_000) -> bytes:
+    if np.asarray(samples).dtype == np.int16:
+        # already quantized in the fused graph (SmallTTS(pcm16_out=True)) —
+        # the C path would cast the 32767-scaled ints to float and clamp
+        # them all to +-1; header + passthrough is pure byte assembly
+        from smalltts_tpu.serving.audio_io import encode_wav as _encode_py
+
+        return _encode_py(samples, sample_rate)
     l = lib()
     assert l is not None
     x = np.ascontiguousarray(np.asarray(samples, np.float32).reshape(-1))

@@ -157,8 +157,16 @@ def decode_and_resample(data: bytes, target_sr: int = 24_000) -> np.ndarray:
 def pcm16(samples: np.ndarray) -> bytes:
     """Mono float32 -> raw 16-bit little-endian PCM with clamp — the ONE
     clamp/rint/scale convention; encode_wav and the streaming body both use
-    it (the stream had its own inline copy that could drift, review r3)."""
-    x = np.clip(np.asarray(samples, np.float32).reshape(-1), -1.0, 1.0)
+    it (the stream had its own inline copy that could drift, review r3).
+
+    int16 input passes through untouched: SmallTTS(pcm16_out=True) applies
+    this exact convention in the fused graph (infer/sampler.py), so the
+    samples are already quantized — re-clamping 32767-scaled ints to [-1, 1]
+    would destroy them."""
+    arr = np.asarray(samples)
+    if arr.dtype == np.int16:
+        return np.ascontiguousarray(arr.reshape(-1), dtype="<i2").tobytes()
+    x = np.clip(arr.astype(np.float32).reshape(-1), -1.0, 1.0)
     return np.rint(x * 32767.0).astype("<i2").tobytes()
 
 

@@ -598,6 +598,7 @@ class TTSServer:
         import numpy as np
 
         from smalltts_tpu.infer.long_form import (
+            _as_float,
             crossfade_stream_step,
             split_sentences,
         )
@@ -688,7 +689,10 @@ class TTSServer:
                         # raises incomplete-read instead of treating the
                         # truncated audio as a complete response
                         raise
-                    cur = np.asarray(audio, np.float32).reshape(-1)
+                    # _as_float rescales a pcm16_out pipeline's int16 back to
+                    # [-1, 1] for the crossfade; the non-faded region
+                    # round-trips losslessly through pcm()
+                    cur = _as_float(audio)
                     emit, pending = crossfade_stream_step(pending, cur, fade)
                     if emit is not None:
                         if ttfb_ms is None:
@@ -928,6 +932,10 @@ def main() -> None:
                     help="serve a static web client from DIR at GET / "
                          "(e.g. website/); same-origin, so the page needs "
                          "no API configuration")
+    ap.add_argument("--pcm16", action="store_true",
+                    help="quantize to int16 PCM in the fused graph: halves "
+                         "device->host result bytes and removes host-side "
+                         "quantization (bit-identical output WAVs)")
     args = ap.parse_args()
 
     if args.compile_cache:
@@ -936,10 +944,10 @@ def main() -> None:
         print(f"compilation cache: {enable_compilation_cache(args.compile_cache)}")
 
     tts = None
-    if args.checkpoint or args.warmup:
+    if args.checkpoint or args.warmup or args.pcm16:
         from smalltts_tpu.infer.pipeline import SmallTTS
 
-        tts = SmallTTS(checkpoint=args.checkpoint)
+        tts = SmallTTS(checkpoint=args.checkpoint, pcm16_out=args.pcm16)
         if args.warmup:
             print("warming up the serving shape contract...")
             n = tts.warmup(batch_sizes=(1, args.max_batch), progress=True)
