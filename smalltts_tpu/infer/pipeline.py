@@ -309,7 +309,8 @@ class SmallTTS:
         key=None,
         fetch: bool = True,
     ):
-        """Batched bucket-padded synthesis -> (B, 1, t_bucket*HOP) waveform.
+        """Batched bucket-padded synthesis -> (B, 1, t_bucket*HOP) waveform
+        (float32; int16 when the pipeline was built with pcm16_out=True).
 
         This is the server batcher's entry point. `fetch=False` returns the
         device array WITHOUT waiting for completion — dispatch is async, so
@@ -451,7 +452,8 @@ class SmallTTS:
         duration_sec: float,
         key=None,
     ) -> np.ndarray:
-        """Single-utterance synthesis -> (1, samples) float32 at 24 kHz
+        """Single-utterance synthesis -> (1, samples) waveform at 24 kHz
+        (float32; int16 PCM when built with pcm16_out=True)
         (reference: src/smalltts/infer/onnx.py:68-129)."""
         ref, ref_len, ph, ph_len, seq_len, t_bucket = self._bucketize(
             ref_latents, list(phoneme_ids), duration_sec

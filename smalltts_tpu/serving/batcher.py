@@ -56,6 +56,10 @@ class Request:
     ref_latents: np.ndarray  # (R, 64)
     token_ids: Sequence[int]
     duration_sec: float
+    # higher dispatches sooner: a stream's FIRST chunk rides priority 1 so
+    # time-to-first-audio never waits behind other streams' later chunks
+    # (the batcher stays FIFO within a priority class)
+    priority: int = 0
     future: Future = field(default_factory=Future)
 
     @property
@@ -135,8 +139,9 @@ class Batcher:
         self._thread.start()
 
     def submit(self, ref_latents: np.ndarray, token_ids: Sequence[int],
-               duration_sec: float) -> Future:
-        req = Request(np.asarray(ref_latents, np.float32), token_ids, duration_sec)
+               duration_sec: float, priority: int = 0) -> Future:
+        req = Request(np.asarray(ref_latents, np.float32), token_ids,
+                      duration_sec, priority)
         with self._lock:
             if self._stop:
                 # a submit after close() would park a Future the dead dispatch
@@ -221,15 +226,21 @@ class Batcher:
             if self._stop:
                 break
             # collection window only when a batch isn't already full — a
-            # saturated queue drains back-to-back with no idle sleep
+            # saturated queue drains back-to-back with no idle sleep. A
+            # pending PRIORITY request (a stream's first chunk) skips the
+            # window entirely: its whole point is minimum latency.
             with self._lock:
                 n = len(self._queue)
-            if 0 < n < self.max_batch:
+                has_priority = any(r.priority > 0 for r in self._queue)
+            if 0 < n < self.max_batch and not has_priority:
                 time.sleep(self.window_s)
             with self._lock:
                 reqs, self._queue = self._queue, []
             if not reqs:
                 continue
+            # stable sort: priority requests group and dispatch FIRST;
+            # FIFO order preserved within each priority class
+            reqs.sort(key=lambda r: -r.priority)
             try:
                 groups = group_requests(reqs, self.max_batch)
             except Exception as exc:

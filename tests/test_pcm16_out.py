@@ -3,9 +3,11 @@
 The lever PERF.md's host-path profile named: quantize to int16 inside the
 fused synthesis graph so the device->host result transfer halves (fp32 ->
 int16) and encode_wav's host-side quantization disappears. The contract is
-that the emitted WAV bytes are the SAME as the fp32 path's — the graph
-applies exactly serving/audio_io.pcm16's clamp/scale/rint convention
-(reference WAV convention: src/server/src/audio.rs:22-36).
+that the emitted WAV bytes match the fp32 path's to <=1 LSB — the graph
+applies exactly serving/audio_io.pcm16's clamp/scale/rint convention.
+(Same clamp/scale as the reference WAV writer, src/server/src/audio.rs:22-36,
+but the rounding differs: we rint (round-half-even) where the reference
+truncates toward zero ('as i16') — a pre-existing <=1 LSB divergence.)
 """
 
 import asyncio
