@@ -59,10 +59,18 @@ def main() -> None:
                          "— the metric that justifies streaming")
     ap.add_argument("--sentences", type=int, default=4,
                     help="sentences per streamed request (--stream)")
-    ap.add_argument("--pcm16", action="store_true",
+    ap.add_argument("--pcm16", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="serve with in-graph int16 quantization "
                          "(SmallTTS(pcm16_out=True)): halves device->host "
-                         "result bytes — the A/B for PERF.md's fetch lever")
+                         "result bytes. ON by default — it is a measured "
+                         "win and the serve default; --no-pcm16 is the A/B")
+    ap.add_argument("--growth-limit", type=int, default=0,
+                    help="adaptive batch growth limit (0 = fixed class, the "
+                         "default here so latency percentiles measure ONE "
+                         "class; growth classes are warmed when enabled)")
+    ap.add_argument("--latency-slo-ms", type=float, default=0.0,
+                    help="adaptive step-down SLO (0 disables)")
     args = ap.parse_args()
 
     import os
@@ -90,12 +98,18 @@ def main() -> None:
         # one cold bucket = a minutes-long request-path compile that lands
         # IN the TTFB percentile (measured: p95 29 s before this)
         from smalltts_tpu.data.bucketing import SERVING_PHONEME_BUCKETS
-        from smalltts_tpu.infer.long_form import split_sentences
+        from smalltts_tpu.infer.long_form import head_split, split_sentences
         from smalltts_tpu.infer.pipeline import estimate_duration
         from smalltts_tpu.text import get_token_ids
 
+        # mirror the server's chunk plan EXACTLY, including the head-split
+        # first-chunk fast path — the head rides the smallest bucket, and a
+        # cold compile there would land in the TTFB percentile
+        sents = split_sentences(text)
+        head, rest = head_split(sents[0])
+        chunks = ([head, rest] if rest else [sents[0]]) + sents[1:]
         p_buckets = {128}
-        for s in split_sentences(text):
+        for s in chunks:
             if s.strip():
                 t_buckets.add(pick_bucket(
                     frames_for_duration(estimate_duration(s)), LATENT_BUCKETS))
@@ -104,12 +118,17 @@ def main() -> None:
     else:
         p_buckets = {128}
     t0 = time.time()
-    tts.warmup(batch_sizes=(1, args.max_batch), t_buckets=sorted(t_buckets),
+    from smalltts_tpu.serving.batcher import batch_ladder
+
+    sizes = (1, *batch_ladder(args.max_batch, args.growth_limit))
+    tts.warmup(batch_sizes=sizes, t_buckets=sorted(t_buckets),
                r_buckets=(64,), p_buckets=sorted(p_buckets), workers=8)
     print(f"warmup in {time.time() - t0:.0f}s", file=sys.stderr)
 
     server = TTSServer(tts=tts, x402_cfg=X402Config(mode="disabled"),
-                       max_batch=args.max_batch)
+                       max_batch=args.max_batch,
+                       growth_limit=args.growth_limit or None,
+                       latency_slo_ms=args.latency_slo_ms or None)
     bodies = [
         multipart(make_wav(0.6, 440.0 + 20 * v), text)
         for v in range(max(1, args.distinct_voices))
@@ -207,7 +226,13 @@ def main() -> None:
             "duration_sec": args.duration,
             "max_batch": args.max_batch,
             "distinct_voices": args.distinct_voices,
+            "pcm16": bool(args.pcm16),
+            "growth_limit": args.growth_limit,
         }
+        if args.growth_limit:
+            # where the adaptive controller ended the run (peak is what
+            # throughput rode; /stats exposes it live)
+            out["final_batch_class"] = server._stat_snapshot()["batch_class"]
         if args.stream:
             ttfb.sort()
             out["metric"] = "serving_stream_ttfb_ms"
