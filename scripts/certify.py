@@ -32,6 +32,13 @@ recorded — a skip is honest, a silent pass is not). Exit code 0 iff no
 stage failed. Every stage is smoke-tested against fixture assets in
 tests/test_certify.py, so the harness itself is known-good before it ever
 meets the real artifacts.
+
+Re-entrancy: stages gate on their OWN files, never on an earlier stage's
+status, so a partial asset set certifies whatever exists (stage `assets`
+reports `partial` rather than skipping) and the command can be re-run as
+more artifacts land — previously-passing stages re-verify, previously
+skipped ones flip to pass/fail. Pinned by
+tests/test_certify.py::test_certify_partial_assets_then_reentrant.
 """
 
 from __future__ import annotations
@@ -81,11 +88,20 @@ def stage_assets(ctx) -> dict:
                 os.path.relpath(os.path.join(dp, fn), root)
                 for dp, _, fns in os.walk(root) for fn in fns
             )
-    if not all(present.values()):
-        raise Skip(f"assets missing after fetch attempt: "
-                   f"{[f for f, ok in present.items() if not ok]} "
+    if not any(present.values()):
+        raise Skip(f"no assets present after fetch attempt "
                    f"({ctx.get('fetch_error', 'no fetch error')})")
-    return {"present": present, "files": files}
+    out = {"present": present, "files": files}
+    missing = [f for f, ok in present.items() if not ok]
+    if missing:
+        # a PARTIAL asset set is not a skip: every later stage gates on its
+        # own files, so whatever exists gets certified now and the harness
+        # is re-entrant — re-run after fetching the rest and the remaining
+        # stages flip from skip to pass/fail (VERDICT r3 directive 7)
+        out["partial"] = missing
+        out["note"] = ("partial asset set: later stages certify what "
+                       "exists; re-run once the rest is fetched")
+    return out
 
 
 def stage_espeak_goldens(ctx) -> dict:

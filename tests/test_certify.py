@@ -126,6 +126,63 @@ def test_certify_checkpoint_parity_stage_reduced(tmp_path):
     assert st["oracle_cross_check"].startswith("pass")
 
 
+def test_certify_partial_assets_then_reentrant(tmp_path):
+    """Partial-asset certification + re-entrancy (VERDICT r3 directive 7):
+    with ONLY the codec fetched, the codec stage must certify (not
+    all-or-skip); after the dmd graphs land, a RE-RUN flips
+    imported_pipeline from skip to pass while codec_parity re-verifies."""
+    import shutil
+
+    assets = tmp_path / "assets"
+    (assets / "codec").mkdir(parents=True)
+    torch.manual_seed(3)
+    enc, dec = MiniVVEncoder(), MiniVVDecoder()
+    wav = torch.randn(1, 1, 8 * 20) * 0.3
+    (assets / "codec" / "encoder.onnx").write_bytes(
+        export(enc, (wav,), dynamic_axes={"x": {0: "b", 2: "t"}}))
+    with torch.no_grad():
+        lat = enc(wav)
+    (assets / "codec" / "decoder.onnx").write_bytes(
+        export(dec, (lat,), dynamic_axes={"z": {0: "b", 1: "t"}}))
+
+    stages = ["assets", "codec_parity", "imported_pipeline", "quality"]
+    report = run_certification(
+        str(assets), str(tmp_path / "CERTIFY.json"), stages=stages,
+        ctx_extra={"tokens": FIX_TOKENS, "duration": FIX_DURATION})
+    st = report["stages"]
+    assert st["assets"]["status"] == "pass", st["assets"]
+    assert sorted(st["assets"]["partial"]) == ["dmd", "tryme"]
+    assert st["codec_parity"]["status"] == "pass", st["codec_parity"]
+    assert st["imported_pipeline"]["status"] == "skip"
+    assert report["ok"] is True
+
+    # "fetch" the rest: dmd graphs + tryme latents land; re-run certifies
+    # the new stages without disturbing the already-green ones
+    model, mods = build_reduced_oracle(seed=21)
+    import pathlib
+
+    dmd_tmp = pathlib.Path(str(tmp_path)) / "_exp"
+    dmd_tmp.mkdir()
+    _export_real_arch(dmd_tmp, model, mods, SEQ, REF_T, PH_P)
+    (assets / "dmd").mkdir()
+    for name in ("condition_encoder.onnx", "denoiser.onnx"):
+        shutil.move(str(dmd_tmp / name), str(assets / "dmd" / name))
+    shutil.move(str(dmd_tmp / "decoder.onnx"),
+                str(assets / "codec" / "decoder.onnx"))
+    (assets / "tryme").mkdir()
+    np.save(str(assets / "tryme" / "latents.npy"),
+            np.random.RandomState(0).randn(REF_T, 64).astype(np.float32))
+
+    report2 = run_certification(
+        str(assets), str(tmp_path / "CERTIFY2.json"), stages=stages,
+        ctx_extra={"tokens": FIX_TOKENS, "duration": FIX_DURATION})
+    st2 = report2["stages"]
+    assert st2["assets"]["status"] == "pass"
+    assert "partial" not in st2["assets"]
+    assert st2["codec_parity"]["status"] == "pass"
+    assert st2["imported_pipeline"]["status"] == "pass", st2["imported_pipeline"]
+
+
 def test_certify_records_failures(tmp_path):
     """A corrupt asset must surface as status=fail with the error, and flip
     the certificate to ok=False."""
