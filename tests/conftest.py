@@ -12,9 +12,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA CPU hard-aborts the process when one collective participant takes
+    # >40 s to reach the rendezvous — on a 1-core host, 8 virtual devices
+    # timesharing full-328M programs routinely exceed that (observed:
+    # dp-pair all-reduce abort in test_fullsize_execution). Lengthen the
+    # crash timeout; harmless on multi-core hosts.
+    flags = flags + " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
