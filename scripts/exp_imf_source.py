@@ -51,6 +51,12 @@ CONFIGS = {
     "dmd_sub12": ("dmd", dict(rollout_substeps=12)),
     "focus": ("teacher", dict(rollout_substeps=4, focus_prob=0.5)),
     "dmd_focus": ("dmd", dict(rollout_substeps=12, focus_prob=0.5)),
+    # round-4 second wave (after the first grid measured focus=0.5 the
+    # winner at IMF-2 excess 0.208 and refuted the dmd source):
+    "focus1": ("teacher", dict(rollout_substeps=4, focus_prob=1.0)),
+    "gan": ("teacher", dict(rollout_substeps=4, gan_weight=1e-3)),
+    "focus_gan": ("teacher",
+                  dict(rollout_substeps=4, focus_prob=0.5, gan_weight=1e-3)),
 }
 
 

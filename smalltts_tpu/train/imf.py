@@ -77,6 +77,14 @@ class ImfConfig:
     # teacher source cut IMF-2 mel excess 0.336 -> see PERF.md table.
     focus_prob: float = 0.0
     focus_num_steps: int = 2
+    # LSGAN weight on the student's FULL-INTERVAL (t -> t_floor) x0
+    # prediction — the reference's own few-step weapon applied to IMF
+    # (reference: src/scripts/train/dmd2/distill.py:330-341 weights the
+    # generator loss 1e-3 there too). 0.0 = off (make_imf_step, no
+    # discriminator anywhere in the graph); > 0 requires the
+    # make_imf_adv_steps pair. Corpus-measured (scripts/exp_imf_source.py):
+    # see PERF.md round-4 table.
+    gan_weight: float = 0.0
     save_every: int = 800
 
 
@@ -125,82 +133,207 @@ def teacher_rollout(teacher, cfg: BackboneConfig, x_t, mask, t, r, cond,
     return jax.lax.fori_loop(0, substeps, body, x_t)
 
 
+def _interval_targets(cfg: BackboneConfig, train_cfg: ImfConfig,
+                      student, teacher, batch, key):
+    """Shared target construction for the plain and adversarial IMF steps:
+    sample (t, r) (uniform / focus / boundary), noise the latents, roll the
+    frozen teacher to r -> dict(cond, mask, x_t, t, r_eff, u_target)."""
+    latents = batch["latents"]
+    lengths = batch["latents_lengths"]
+    b, t_len, _ = latents.shape
+    mask = length_mask(lengths, t_len)
+    # DELIBERATE freeze: conditioning is encoded OUTSIDE loss_fn, so
+    # the style/text encoders and cross-KV projections receive zero
+    # gradient — the IMF student keeps the teacher's conditioning
+    # exactly. That keeps cached-cond serving interchangeable between
+    # DMD and IMF recurrences on one checkpoint (infer/pipeline routes
+    # both through the same encode), and the corpus quality gate
+    # measured the student this way. The optimizer runs without weight
+    # decay so these zero-grad leaves cannot drift (review r3).
+    cond = encode_conditions(
+        student, cfg, batch["ref_latents"], batch["ref_latents_lengths"],
+        batch["phonemes"],
+        length_mask(batch["phonemes_lengths"], batch["phonemes"].shape[1]),
+    )
+    k_t, k_r, k_eps, k_b, k_f, k_fi = jax.random.split(key, 6)
+    t = jax.random.uniform(
+        k_t, (b,), minval=train_cfg.t_floor + train_cfg.min_interval,
+        maxval=1.0,
+    )
+    r = jax.random.uniform(
+        k_r, (b,), minval=train_cfg.t_floor,
+        maxval=t - train_cfg.min_interval,
+    )
+    if train_cfg.focus_prob > 0.0:  # static: no-op graph when off
+        # serving-grid intervals: exactly what imf_sample(num_steps=
+        # focus_num_steps) evaluates, r floored at t_floor (training
+        # never sees r=0; the sampler's last interval extrapolates
+        # the ~0.02 gap, same as the uniform path)
+        grid = jnp.linspace(1.0, 0.0, train_cfg.focus_num_steps + 1)
+        idx = jax.random.randint(k_fi, (b,), 0, train_cfg.focus_num_steps)
+        focus = jax.random.bernoulli(k_f, train_cfg.focus_prob, (b,))
+        t = jnp.where(focus, grid[idx], t)
+        r = jnp.where(focus, jnp.maximum(grid[idx + 1], train_cfg.t_floor), r)
+    a, s = get_alpha_sigma(t)
+    eps = jax.random.normal(k_eps, latents.shape, latents.dtype)
+    x_t = a[:, None, None] * latents + s[:, None, None] * eps
+
+    x_r = jax.lax.stop_gradient(
+        teacher_rollout(teacher, cfg, x_t, mask, t, r, cond,
+                        train_cfg.rollout_substeps)
+    )
+    u_int = (x_t - x_r) / (t - r)[:, None, None]
+
+    # MeanFlow boundary condition: per-sample, with prob boundary_prob,
+    # train the pair r = t against the teacher's INSTANTANEOUS velocity
+    # (lim r->t of the integral target). This pins u(x,t,t) = v(x,t),
+    # which interval-only training leaves unconstrained and which the
+    # DMD-recurrence serving path evaluates.
+    if train_cfg.boundary_prob > 0.0:  # static: skip the extra teacher
+        boundary = jax.random.bernoulli(  # forward entirely when off
+            k_b, train_cfg.boundary_prob, (b,))
+        v_teacher = jax.lax.stop_gradient(
+            denoise_step(teacher, cfg, x_t, mask, t, cond))
+        r_eff = jnp.where(boundary, t, r)
+        u_target = jnp.where(boundary[:, None, None], v_teacher, u_int)
+    else:
+        r_eff, u_target = r, u_int
+    return {"cond": cond, "mask": mask, "x_t": x_t, "t": t,
+            "r_eff": r_eff, "u_target": u_target}
+
+
+def _imf_base_loss(p, cfg, tgt):
+    u = imf_velocity(p, cfg, tgt["x_t"], tgt["mask"], tgt["t"], tgt["r_eff"],
+                     tgt["cond"])
+    per = ((u - tgt["u_target"]) ** 2).astype(jnp.float32)
+    per = jnp.where(tgt["mask"][..., None], per, 0.0)
+    return per.sum() / jnp.maximum(tgt["mask"].sum() * per.shape[-1], 1)
+
+
 def make_imf_step(cfg: BackboneConfig, tx, train_cfg: ImfConfig = ImfConfig()):
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(student, opt_state, teacher, batch, key):
-        latents = batch["latents"]
-        lengths = batch["latents_lengths"]
-        b, t_len, _ = latents.shape
-        mask = length_mask(lengths, t_len)
-        # DELIBERATE freeze: conditioning is encoded OUTSIDE loss_fn, so
-        # the style/text encoders and cross-KV projections receive zero
-        # gradient — the IMF student keeps the teacher's conditioning
-        # exactly. That keeps cached-cond serving interchangeable between
-        # DMD and IMF recurrences on one checkpoint (infer/pipeline routes
-        # both through the same encode), and the corpus quality gate
-        # measured the student this way. The optimizer runs without weight
-        # decay so these zero-grad leaves cannot drift (review r3).
-        cond = encode_conditions(
-            student, cfg, batch["ref_latents"], batch["ref_latents_lengths"],
-            batch["phonemes"],
-            length_mask(batch["phonemes_lengths"], batch["phonemes"].shape[1]),
-        )
-        k_t, k_r, k_eps, k_b, k_f, k_fi = jax.random.split(key, 6)
-        t = jax.random.uniform(
-            k_t, (b,), minval=train_cfg.t_floor + train_cfg.min_interval,
-            maxval=1.0,
-        )
-        r = jax.random.uniform(
-            k_r, (b,), minval=train_cfg.t_floor,
-            maxval=t - train_cfg.min_interval,
-        )
-        if train_cfg.focus_prob > 0.0:  # static: no-op graph when off
-            # serving-grid intervals: exactly what imf_sample(num_steps=
-            # focus_num_steps) evaluates, r floored at t_floor (training
-            # never sees r=0; the sampler's last interval extrapolates
-            # the ~0.02 gap, same as the uniform path)
-            grid = jnp.linspace(1.0, 0.0, train_cfg.focus_num_steps + 1)
-            idx = jax.random.randint(k_fi, (b,), 0, train_cfg.focus_num_steps)
-            focus = jax.random.bernoulli(k_f, train_cfg.focus_prob, (b,))
-            t = jnp.where(focus, grid[idx], t)
-            r = jnp.where(focus, jnp.maximum(grid[idx + 1], train_cfg.t_floor), r)
-        a, s = get_alpha_sigma(t)
-        eps = jax.random.normal(k_eps, latents.shape, latents.dtype)
-        x_t = a[:, None, None] * latents + s[:, None, None] * eps
-
-        x_r = jax.lax.stop_gradient(
-            teacher_rollout(teacher, cfg, x_t, mask, t, r, cond,
-                            train_cfg.rollout_substeps)
-        )
-        u_int = (x_t - x_r) / (t - r)[:, None, None]
-
-        # MeanFlow boundary condition: per-sample, with prob boundary_prob,
-        # train the pair r = t against the teacher's INSTANTANEOUS velocity
-        # (lim r->t of the integral target). This pins u(x,t,t) = v(x,t),
-        # which interval-only training leaves unconstrained and which the
-        # DMD-recurrence serving path evaluates.
-        if train_cfg.boundary_prob > 0.0:  # static: skip the extra teacher
-            boundary = jax.random.bernoulli(  # forward entirely when off
-                k_b, train_cfg.boundary_prob, (b,))
-            v_teacher = jax.lax.stop_gradient(
-                denoise_step(teacher, cfg, x_t, mask, t, cond))
-            r_eff = jnp.where(boundary, t, r)
-            u_target = jnp.where(boundary[:, None, None], v_teacher, u_int)
-        else:
-            r_eff, u_target = r, u_int
-
-        def loss_fn(p):
-            u = imf_velocity(p, cfg, x_t, mask, t, r_eff, cond)
-            per = ((u - u_target) ** 2).astype(jnp.float32)
-            per = jnp.where(mask[..., None], per, 0.0)
-            return per.sum() / jnp.maximum(mask.sum() * latents.shape[-1], 1)
-
-        loss, grads = jax.value_and_grad(loss_fn)(student)
+        tgt = _interval_targets(cfg, train_cfg, student, teacher, batch, key)
+        loss, grads = jax.value_and_grad(
+            lambda p: _imf_base_loss(p, cfg, tgt))(student)
         updates, opt_state = tx.update(grads, opt_state, student)
         student = optax.apply_updates(student, updates)
         return student, opt_state, loss
 
     return step
+
+
+def make_imf_adv_steps(cfg: BackboneConfig, disc_cfg, tx, tx_disc,
+                       train_cfg: ImfConfig):
+    """Adversarial IMF: the base interval-regression loss plus an LSGAN term
+    on the student's FULL-INTERVAL x0 prediction — the reference's own
+    few-step weapon, transplanted (reference:
+    src/scripts/train/dmd2/distill.py:330-341, 368-415; VERDICT r3 next #3).
+
+    Per student step, ONE extra student call evaluates u(x_t, t, t_floor) and
+    x0_pred = x_t - (t - t_floor) * u — the exact map the 1-step sampler
+    serves and the second interval of the 2-step grid. x0_pred is re-noised
+    at fresh ts and judged by the discriminator over the FROZEN TEACHER's
+    stacked last-3-layer features (DMD2 uses its evolving scorer there; IMF
+    has no scorer, and the teacher is the fixed feature extractor the
+    discriminator architecture was designed for). Gradient reaches the
+    student only through the noised-x input, exactly the reference's path
+    (feats enter stop_gradient'd).
+
+    -> (student_step, disc_step):
+        student_step(student, opt, teacher, disc, batch, key)
+            -> student, opt, carry, {"imf_loss", "gan_loss"}
+        disc_step(disc, disc_opt, teacher, batch, carry, key) -> disc, opt, loss
+    """
+    from smalltts_tpu.models.backbone import backbone_forward
+    from smalltts_tpu.models.discriminator import discriminator_forward
+    from smalltts_tpu.models.style_encoder import style_encoder
+    from smalltts_tpu.ops.schedule import apply_noise
+
+    sg = jax.lax.stop_gradient
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def student_step(student, opt_state, teacher, disc, batch, key):
+        k_tgt, k_ts, k_noise = jax.random.split(key, 3)
+        tgt = _interval_targets(cfg, train_cfg, student, teacher, batch, k_tgt)
+        b = batch["latents"].shape[0]
+        ph_mask = length_mask(batch["phonemes_lengths"],
+                              batch["phonemes"].shape[1])
+        ref_seq, ref_mask = style_encoder(
+            teacher["style_encoder"], batch["ref_latents"],
+            batch["ref_latents_lengths"], cfg.style,
+        )
+        ts = jax.random.uniform(k_ts, (b,))
+        noise = jax.random.normal(k_noise, batch["latents"].shape)
+        floor_vec = jnp.full((b,), train_cfg.t_floor, jnp.float32)
+
+        def loss_fn(p):
+            base = _imf_base_loss(p, cfg, tgt)
+            # full-interval x0: u(x_t, t, t_floor) — the 1-step serving map
+            u_full = imf_velocity(p, cfg, tgt["x_t"], tgt["mask"], tgt["t"],
+                                  floor_vec, tgt["cond"])
+            span = (tgt["t"] - train_cfg.t_floor)[:, None, None]
+            x0_pred = tgt["x_t"] - span.astype(u_full.dtype) * u_full
+            x0_pred = jnp.where(tgt["mask"][..., None], x0_pred, 0.0)
+            x_t_g, _ = apply_noise(x0_pred, ts, noise)
+            # frozen-teacher features on the (detached) noised fake — the
+            # generator gradient flows through x_t_g's direct disc input
+            # only, per the reference's path
+            _, feats_fake = backbone_forward(
+                teacher, cfg, sg(x_t_g), batch["ref_latents"],
+                batch["ref_latents_lengths"], tgt["mask"], batch["phonemes"],
+                ph_mask, ts, return_features=True,
+            )
+            logits, _ = discriminator_forward(
+                sg(disc), disc_cfg, sg(feats_fake), x_t_g, ref_seq, ref_mask,
+                tgt["mask"], batch["phonemes"], ts, train=True,
+            )
+            gan = ((logits - 1.0) ** 2).mean()
+            aux = {"imf_loss": base, "gan_loss": gan,
+                   "x_t_g": sg(x_t_g), "feats_fake": sg(feats_fake)}
+            return base + train_cfg.gan_weight * gan, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(student)
+        updates, opt_state = tx.update(grads, opt_state, student)
+        student = optax.apply_updates(student, updates)
+        carry = {"x_t_g": aux["x_t_g"], "feats_fake": aux["feats_fake"],
+                 "ref_seq": ref_seq, "ref_mask": ref_mask, "ts": ts}
+        return student, opt_state, carry, {
+            "imf_loss": aux["imf_loss"], "gan_loss": aux["gan_loss"]}
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def disc_step(disc, disc_opt, teacher, batch, carry, key):
+        latents = batch["latents"]
+        mask = length_mask(batch["latents_lengths"], latents.shape[1])
+        ph_mask = length_mask(batch["phonemes_lengths"],
+                              batch["phonemes"].shape[1])
+        ts = carry["ts"]
+        x_real, _ = apply_noise(latents, ts,
+                                jax.random.normal(key, latents.shape))
+        _, feats_real = backbone_forward(
+            teacher, cfg, x_real, batch["ref_latents"],
+            batch["ref_latents_lengths"], mask, batch["phonemes"], ph_mask,
+            ts, return_features=True,
+        )
+        feats = jnp.concatenate([sg(feats_real), carry["feats_fake"]], axis=0)
+        xs = jnp.concatenate([x_real, carry["x_t_g"]], axis=0)
+        cat2 = lambda v: jnp.concatenate([v] * 2, axis=0)  # noqa: E731
+
+        def disc_loss(dp):
+            logits, new_p = discriminator_forward(
+                dp, disc_cfg, feats, xs, cat2(carry["ref_seq"]),
+                cat2(carry["ref_mask"]), cat2(mask), cat2(batch["phonemes"]),
+                cat2(ts), train=True,
+            )
+            real, fake = jnp.split(logits, 2, axis=0)
+            return (fake ** 2 + (real - 1.0) ** 2).mean(), new_p
+
+        (loss, new_p), grads = jax.value_and_grad(disc_loss, has_aux=True)(disc)
+        updates, disc_opt = tx_disc.update(grads, disc_opt, disc)
+        disc = optax.apply_updates(new_p, updates)
+        return disc, disc_opt, loss
+
+    return student_step, disc_step
 
 
 def imf_sample(student, cfg: BackboneConfig, cond, seq_lengths, t_bucket: int,

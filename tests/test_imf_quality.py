@@ -179,13 +179,35 @@ def _train_dmd2(teacher, batch, cfg, steps=150):
 def _train_imf(teacher, batch, cfg, steps=400, imf_cfg=None):
     import optax
 
-    from smalltts_tpu.train.imf import ImfConfig, init_imf_student, make_imf_step
+    from smalltts_tpu.train.imf import (
+        ImfConfig,
+        init_imf_student,
+        make_imf_adv_steps,
+        make_imf_step,
+    )
 
+    imf_cfg = imf_cfg or ImfConfig(rollout_substeps=4)
     student = init_imf_student(teacher)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4))
     opt = tx.init(student)
-    step = make_imf_step(cfg, tx, imf_cfg or ImfConfig(rollout_substeps=4))
     key = jax.random.PRNGKey(4)
+    if imf_cfg.gan_weight > 0.0:
+        from smalltts_tpu.models.discriminator import init_discriminator
+        from test_distill import TINY_DISC
+
+        disc = init_discriminator(jax.random.PRNGKey(5), TINY_DISC)
+        tx_d = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4))
+        opt_d = tx_d.init(disc)
+        sstep, dstep = make_imf_adv_steps(cfg, TINY_DISC, tx, tx_d, imf_cfg)
+        for _ in range(steps):
+            key, k1, k2 = jax.random.split(key, 3)
+            student, opt, carry, m = sstep(student, opt, teacher, disc,
+                                           batch, k1)
+            disc, opt_d, d_loss = dstep(disc, opt_d, teacher, batch, carry, k2)
+            assert np.isfinite(float(m["imf_loss"]))
+            assert np.isfinite(float(d_loss))
+        return student
+    step = make_imf_step(cfg, tx, imf_cfg)
     for _ in range(steps):
         key, sub = jax.random.split(key)
         student, opt, loss = step(student, opt, teacher, batch, sub)
