@@ -27,6 +27,15 @@ def main() -> None:
                          "pair (MeanFlow boundary condition; pins u(x,t,t) "
                          "to the teacher's instantaneous velocity — corpus-"
                          "measured tradeoff, see scripts/exp_imf_boundary.py)")
+    ap.add_argument("--focus-prob", type=float, default=0.5,
+                    help="fraction of samples trained on the exact serving-"
+                         "grid intervals (round-4 corpus grid: the largest "
+                         "single IMF-2 win, -36%% mel excess; see PERF.md)")
+    ap.add_argument("--gan-weight", type=float, default=0.0,
+                    help="LSGAN weight on the full-interval x0 prediction "
+                         "(the reference's DMD2 adversarial recipe "
+                         "transplanted; corpus-measured best for the 1-step "
+                         "path, see PERF.md round-4 wave 2)")
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--data-codec-checkpoint", default=None)
     args = ap.parse_args()
@@ -43,7 +52,9 @@ def main() -> None:
     train_imf(
         ImfConfig(num_steps=args.steps, batch_size=args.batch_size,
                   rollout_substeps=args.substeps,
-                  boundary_prob=args.boundary_prob),
+                  boundary_prob=args.boundary_prob,
+                  focus_prob=args.focus_prob,
+                  gan_weight=args.gan_weight),
         teacher_params=teacher,
         checkpoint_dir=args.checkpoint_dir,
         data_iter=cli_data_iter(args.data_dir, args.data_codec_checkpoint,

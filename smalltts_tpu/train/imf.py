@@ -72,10 +72,14 @@ class ImfConfig:
     # at t_floor) instead of uniform (t, r). The serving grid is static
     # (infer: imf_sample's ts), so spending training mass on those
     # intervals targets the measured metric directly; uniform samples
-    # keep the rest of the (t, r) plane regularized. Corpus-measured
-    # (scripts/exp_imf_source.py, 2026-08-18): focus_prob=0.5 on the
-    # teacher source cut IMF-2 mel excess 0.336 -> see PERF.md table.
-    focus_prob: float = 0.0
+    # keep the rest of the (t, r) plane regularized. DEFAULT 0.5: the
+    # round-4 corpus grid (scripts/exp_imf_source.py, PERF.md) measured
+    # IMF-2 mel excess 0.324 -> 0.208 (-36%), the largest single win of
+    # the nine configs tried, and the cost lands only on paths auto never
+    # serves (IMF-1 0.582 -> 1.121; auto serves r_gate checkpoints at
+    # IMF-2 only). focus_prob=1.0 was marginally better (0.195) but
+    # removes all off-grid regularization; 0.5 keeps the plane covered.
+    focus_prob: float = 0.5
     focus_num_steps: int = 2
     # LSGAN weight on the student's FULL-INTERVAL (t -> t_floor) x0
     # prediction — the reference's own few-step weapon applied to IMF
@@ -410,22 +414,59 @@ def train_imf(
         jax.tree_util.tree_map_with_path(_trained, student),
     )
     opt_state = tx.init(student)
-    step_fn = make_imf_step(model_cfg, tx, train_cfg)
     data_iter = data_iter or get_dummy_dataloader(train_cfg.batch_size, seed)
     saver = ckpt.AsyncCheckpointer()
+
+    disc = disc_opt = disc_step = tx_disc = None
+    if train_cfg.gan_weight > 0.0:
+        from smalltts_tpu.models.discriminator import (
+            DiscriminatorConfig,
+            init_discriminator,
+        )
+
+        disc_cfg = DiscriminatorConfig(
+            transformer_dim=model_cfg.hidden_dim, ref_dim=model_cfg.hidden_dim,
+            # the disc consumes the last N stacked DiT layers; a shallower-
+            # than-3-block backbone (tiny test configs) caps N at its depth
+            num_tail_layers=min(3, model_cfg.dit.n_blocks),
+        )
+        disc = init_discriminator(jax.random.PRNGKey(seed + 1), disc_cfg)
+        tx_disc = optax.chain(
+            optax.clip_by_global_norm(train_cfg.grad_clip),
+            optax.adamw(train_cfg.lr),
+        )
+        disc_opt = tx_disc.init(disc)
+        step_fn, disc_step = make_imf_adv_steps(model_cfg, disc_cfg, tx,
+                                                tx_disc, train_cfg)
+    else:
+        step_fn = make_imf_step(model_cfg, tx, train_cfg)
 
     key = jax.random.PRNGKey(seed)
     loss = None
     for step in range(train_cfg.num_steps):
         batch = next(data_iter)
         batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "texts"}
-        key, sub = jax.random.split(key)
-        student, opt_state, loss = step_fn(student, opt_state, teacher_params,
-                                           batch, sub)
-        if step % log_every == 0:
-            print(f"step {step}: imf_loss={float(loss):.5f}")
+        key, sub, k_d = jax.random.split(key, 3)
+        if disc_step is not None:
+            student, opt_state, carry, metrics = step_fn(
+                student, opt_state, teacher_params, disc, batch, sub)
+            disc, disc_opt, d_loss = disc_step(disc, disc_opt, teacher_params,
+                                               batch, carry, k_d)
+            loss = metrics["imf_loss"]
+            if step % log_every == 0:
+                print(f"step {step}: imf_loss={float(loss):.5f} "
+                      f"gan={float(metrics['gan_loss']):.5f} "
+                      f"disc={float(d_loss):.5f}")
+        else:
+            student, opt_state, loss = step_fn(student, opt_state,
+                                               teacher_params, batch, sub)
+            if step % log_every == 0:
+                print(f"step {step}: imf_loss={float(loss):.5f}")
         if step % train_cfg.save_every == 0 and step > 1:
             saver.wait()
             saver.save_pytree(f"{checkpoint_dir}/imf_student_latest.npz", student)
+            if disc is not None:
+                saver.save_pytree(
+                    f"{checkpoint_dir}/imf_discriminator_latest.npz", disc)
     saver.close()
     return student, float(loss) if loss is not None else None

@@ -336,9 +336,12 @@ def test_imf_vs_dmd_quality_on_corpus():
     assert excess(mel_t32) < 0.2, results
     assert excess(mel_dmd) < 0.2, results
     # IMF trains: far below untrained scale (~1+ excess), 2-step >= 1-step,
-    # speaker similarity at least DMD's
-    assert excess(mel_imf2) < 0.8, results
-    assert excess(mel_imf1) < 1.1, results
+    # speaker similarity at least DMD's. With the round-4 default
+    # focus_prob=0.5 the SERVED path tightens (IMF-2 excess measured
+    # 0.208, was 0.336) while IMF-1 — which auto never serves — trades
+    # away to ~1.12 (PERF.md round-4 grid); the bounds reflect that split.
+    assert excess(mel_imf2) < 0.5, results
+    assert excess(mel_imf1) < 1.5, results
     assert mel_imf2 <= mel_imf1 + 0.1, results
     assert sv_imf2 > sv_dmd - 0.05, results
     assert sv_imf1 > sv_dmd - 0.15, results

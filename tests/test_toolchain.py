@@ -80,12 +80,17 @@ def test_full_toolchain_checkpoint_chain(tmp_path):
     student_path = os.path.join(d["dmd"], "student_latest.npz")
     assert os.path.exists(student_path)
 
-    # 5) IMF few-step distillation FROM the DMD student
-    train_imf(ImfConfig(num_steps=3, save_every=2, rollout_substeps=2),
+    # 5) IMF few-step distillation FROM the DMD student — through the
+    # ADVERSARIAL driver branch (gan_weight > 0 builds + alternates the
+    # discriminator and writes its sidecar checkpoint)
+    train_imf(ImfConfig(num_steps=3, save_every=2, rollout_substeps=2,
+                        gan_weight=1e-3),
               model_cfg=TINY_BACKBONE, teacher_checkpoint=student_path,
               checkpoint_dir=d["imf"], data_iter=_tiny_data(4), log_every=1)
     imf_path = os.path.join(d["imf"], "imf_student_latest.npz")
     assert os.path.exists(imf_path)
+    assert os.path.exists(
+        os.path.join(d["imf"], "imf_discriminator_latest.npz"))
 
     # 6) serve each checkpoint through the public pipeline
     ref = np.random.RandomState(0).randn(6, 64).astype(np.float32)
