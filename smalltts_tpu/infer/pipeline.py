@@ -96,6 +96,7 @@ class SmallTTS:
         codec="auto",
         sampler: str = "auto",
         w8_modulation: bool = False,
+        w8_stream: bool = False,
         fused_projections: bool = True,
         pcm16_out: bool = False,
     ) -> None:
@@ -193,6 +194,16 @@ class SmallTTS:
             from smalltts_tpu.models.dit import quantize_modulations
 
             backbone_host = quantize_modulations(backbone_host)
+        if w8_stream:
+            # int8 denoise weight streams dequantized by plain XLA
+            # convert+multiply (no Pallas barrier): halves the HBM bytes of
+            # the stream-bound 4-step loop (models/dit.
+            # quantize_stream_weights). Approximation (~0.4% per-channel
+            # weight error) — opt-in; waveform tolerance pinned in
+            # tests/test_pallas.py
+            from smalltts_tpu.models.dit import quantize_stream_weights
+
+            backbone_host = quantize_stream_weights(backbone_host)
         if mesh is not None:
             from smalltts_tpu.parallel.mesh import shard_params
 

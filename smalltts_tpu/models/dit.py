@@ -324,6 +324,50 @@ def fuse_serving_projections(params):
     return params
 
 
+def quantize_stream_weights(params):
+    """Serving-time int8 quantization of the denoise scan's weight streams.
+
+    The round-4 MFU profile (PERF.md) shows the 4-step denoise loop is
+    weight-STREAM-bound: ~0.5 GB of DiT matmul weights cross HBM per step
+    at small per-kernel shapes. This halves those bytes: the four leaves
+    the cached scan actually threads (attn qkvg/to_out, ff w13/w2 — or
+    their unfused variants) are stored int8 with a per-layer,
+    per-output-channel symmetric scale; nn.linear dequantizes with a
+    convert+multiply XLA fuses into the matmul read. Contrast with the
+    REFUTED Pallas w8 kernels (PERF.md round-3: pallas_call is a
+    scheduling barrier that repaid its streaming win 8x in lost overlap) —
+    this keeps XLA in charge of overlap. Max per-channel quantization
+    error is 0.5/127 of the channel's max |w| (~0.4%); waveform impact is
+    tolerance-tested (tests/test_pallas.py::test_w8_stream_*).
+
+    Checkpoints stay fp; apply at load via SmallTTS(w8_stream=True)."""
+    params = jax.tree.map(lambda x: x, params)
+    dit = params["dit"] if "dit" in params else params
+    blocks = dict(dit["blocks"])
+
+    def quant(lin):
+        w = lin["w"]  # stacked (L, H, O) or flat (H, O)
+        scale = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+        scale = jnp.maximum(scale, 1e-12)
+        w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        out = {"w_q": w_q, "scale": scale.astype(jnp.float32)}
+        if "b" in lin:
+            out["b"] = lin["b"]
+        return out
+
+    attn = dict(blocks["attn"])
+    for k in ("qkvg", "qkv_self", "gate", "to_out"):
+        if k in attn:
+            attn[k] = quant(attn[k])
+    ff = dict(blocks["ff"])
+    for k in ("w13", "w1", "w3", "w2"):
+        if k in ff:
+            ff[k] = quant(ff[k])
+    blocks["attn"], blocks["ff"] = attn, ff
+    dit["blocks"] = blocks
+    return params
+
+
 def _block_core(blk, cfg: DiTConfig, x, mod, mask, joint_key_mask, rope_freqs, kv: Tuple):
     """Shared block body; `mod` is this block's precomputed adaLN modulation;
     `kv` is (k_ref, v_ref, k_text, v_text) already projected."""

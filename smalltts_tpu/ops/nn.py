@@ -69,7 +69,17 @@ def init_conv1d(key, c_in: int, c_out: int, k: int, groups: int = 1, dtype=jnp.f
 
 
 def linear(p, x: jax.Array) -> jax.Array:
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "w_q" in p:
+        # int8 weight streaming (dit.quantize_stream_weights): the weight
+        # lives in HBM as int8 + per-output-channel scale — half the bytes
+        # of bf16 on the stream-bound denoise path — and dequantizes with a
+        # plain convert+multiply that XLA fuses into the matmul's operand
+        # read (NOT a Pallas kernel: those measured as scheduling barriers,
+        # PERF.md round-3 w8 sections)
+        w = p["w_q"].astype(x.dtype) * p["scale"].astype(x.dtype)
+    else:
+        w = p["w"].astype(x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)

@@ -182,3 +182,75 @@ def test_w8_modulation_pipeline_parity():
     assert err / scale_ < 0.05, (err, scale_)
     # and the two are not trivially identical (the quantized path really ran)
     assert err > 0
+
+
+def test_w8_stream_pipeline_parity():
+    """SmallTTS(w8_stream=True) must synthesize within quantization
+    tolerance of the fp pipeline — same key, same inputs, the denoise
+    scan's weight streams (attn qkvg/to_out, ff w13/w2) stored int8 with
+    per-layer per-output-channel scales (models/dit.quantize_stream_weights),
+    dequantized by plain XLA convert+multiply (no Pallas)."""
+    from smalltts_tpu.infer.pipeline import SmallTTS
+    from smalltts_tpu.models.backbone import init_backbone
+    from smalltts_tpu.models.codec import init_codec
+    from tiny import TINY_BACKBONE, TINY_CODEC
+
+    params = init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE)
+    # nonzero adaLN modulations: with the zero-init (reference
+    # dit.py:281-285) every block's tanh gates are 0, x never touches the
+    # quantized qkv/ff weights, and parity is vacuously exact (the
+    # w8_modulation test above hit the same trap)
+    lin = params["dit"]["blocks"]["attn_norm"]["linear"]
+    lin["w"] = 0.3 * jax.random.normal(jax.random.PRNGKey(3),
+                                       lin["w"].shape, lin["w"].dtype)
+    lin["b"] = 0.1 * jax.random.normal(jax.random.PRNGKey(4),
+                                       lin["b"].shape, lin["b"].dtype)
+    # nonzero velocity head (zero-init would make parity vacuous)
+    vel = params["velocity"]
+    vel["w"] = 0.05 * jax.random.normal(jax.random.PRNGKey(5),
+                                        vel["w"].shape, vel["w"].dtype)
+    codec_params = init_codec(jax.random.PRNGKey(1), TINY_CODEC)
+    mk = lambda w8: SmallTTS(  # noqa: E731
+        params, codec_params, cfg=TINY_BACKBONE, codec_cfg=TINY_CODEC,
+        w8_stream=w8)
+    tts_fp, tts_w8 = mk(False), mk(True)
+
+    attn = tts_w8.params["dit"]["blocks"]["attn"]
+    assert "w_q" in attn["qkvg"] and attn["qkvg"]["w_q"].dtype == jnp.int8
+    assert attn["qkvg"]["scale"].dtype == jnp.float32
+    # scale is per-layer, per-output-channel: (L, 1, O)
+    L, H, O = attn["qkvg"]["w_q"].shape
+    assert attn["qkvg"]["scale"].shape == (L, 1, O)
+    assert "w_q" in tts_w8.params["dit"]["blocks"]["ff"]["w2"]
+    # cross-KV projections stay fp (cond-encode path, streamed once)
+    assert "w" in attn["kv_ref"]
+
+    ref = np.random.RandomState(2).randn(8, 64).astype(np.float32)
+    key = jax.random.PRNGKey(9)
+    a_fp = tts_fp.synthesize(ref, [1, 2, 3, 4], 2.0, key=key)
+    a_w8 = tts_w8.synthesize(ref, [1, 2, 3, 4], 2.0, key=key)
+    assert a_fp.shape == a_w8.shape
+    err = np.abs(a_fp - a_w8).max()
+    scale_ = max(np.abs(a_fp).max(), 1e-6)
+    # 4 quantized matmuls per block compound; 10% bounds the random-init
+    # worst case while still failing on any wiring bug (wrong scale axis
+    # or layer slicing produces O(1) relative error)
+    assert err / scale_ < 0.10, (err, scale_)
+    assert err > 0  # the quantized path really ran
+
+
+def test_quantize_stream_weights_dequant_exactness():
+    """Round-trip check on the transform itself: dequantized int8 weights
+    match fp within the per-channel bound 0.5 * scale (scale = max|w|/127
+    per output channel per layer)."""
+    from smalltts_tpu.models.dit import quantize_stream_weights
+    from smalltts_tpu.models.backbone import init_backbone
+    from tiny import TINY_BACKBONE
+
+    params = init_backbone(jax.random.PRNGKey(0), TINY_BACKBONE)
+    fp = params["dit"]["blocks"]["ff"]["w2"]["w"]
+    q = quantize_stream_weights(params)["dit"]["blocks"]["ff"]["w2"]
+    deq = q["w_q"].astype(jnp.float32) * q["scale"]
+    err = jnp.abs(deq - fp)
+    bound = 0.5 * jnp.broadcast_to(q["scale"], fp.shape) + 1e-9
+    assert bool(jnp.all(err <= bound)), float((err - bound).max())
