@@ -57,6 +57,16 @@ CONFIGS = {
     "gan": ("teacher", dict(rollout_substeps=4, gan_weight=1e-3)),
     "focus_gan": ("teacher",
                   dict(rollout_substeps=4, focus_prob=0.5, gan_weight=1e-3)),
+    # round-4 wave 3: is the remaining gap training-BUDGET-limited or
+    # method-limited? Same best config, 3x the steps (grid runs use 400).
+    "focus_long": ("teacher", dict(rollout_substeps=4, focus_prob=0.5), 1200),
+    # round-4 wave 4: backward-simulation roll-in — train the second
+    # serving interval on the student's OWN first-step output (the state
+    # the 2-step sampler actually feeds it; reference distill.py:248-287)
+    "rollin": ("teacher", dict(rollout_substeps=4, rollin_prob=0.5)),
+    "focus_rollin": ("teacher",
+                     dict(rollout_substeps=4, focus_prob=0.5,
+                          rollin_prob=0.25)),
 }
 
 
@@ -131,9 +141,11 @@ def main():
               f"(excess {mel - floor:+.3f}) sv={sv:.3f}", flush=True)
 
     for name in names:
-        source_name, kwargs = CONFIGS[name]
+        source_name, kwargs, *rest = CONFIGS[name]
+        steps = rest[0] if rest else 400
         source = teacher if source_name == "teacher" else dmd_student
-        student = _train_imf(source, batch, cfg, imf_cfg=ImfConfig(**kwargs))
+        student = _train_imf(source, batch, cfg, steps=steps,
+                             imf_cfg=ImfConfig(**kwargs))
 
         def imf_k(k):
             return lambda i, T, key: imf_sample(

@@ -81,6 +81,16 @@ class ImfConfig:
     # removes all off-grid regularization; 0.5 keeps the plane covered.
     focus_prob: float = 0.5
     focus_num_steps: int = 2
+    # Fraction of samples trained as the SECOND serving interval
+    # (grid[1] -> t_floor) with x_t taken from the student's OWN
+    # first-interval rollout from pure noise — the backward-simulation
+    # trick the reference's DMD2 uses (src/scripts/train/dmd2/
+    # distill.py:248-287): at serve time step 2's input is the student's
+    # step-1 output, not noised ground truth, and uniform/focus training
+    # never sees that distribution. The teacher then provides the
+    # integral target FROM that student-made state. Student rollout runs
+    # under stop_gradient (exactly the reference's no-grad first pass).
+    rollin_prob: float = 0.0
     # LSGAN weight on the student's FULL-INTERVAL (t -> t_floor) x0
     # prediction — the reference's own few-step weapon applied to IMF
     # (reference: src/scripts/train/dmd2/distill.py:330-341 weights the
@@ -181,6 +191,27 @@ def _interval_targets(cfg: BackboneConfig, train_cfg: ImfConfig,
     a, s = get_alpha_sigma(t)
     eps = jax.random.normal(k_eps, latents.shape, latents.dtype)
     x_t = a[:, None, None] * latents + s[:, None, None] * eps
+
+    if train_cfg.rollin_prob > 0.0:  # static: no-op graph when off
+        # backward-simulation roll-in (reference distill.py:248-287): with
+        # prob rollin_prob, this sample becomes the SECOND serving
+        # interval (grid[1] -> t_floor) evaluated at the student's OWN
+        # first-step output from pure noise — the state the 2-step sampler
+        # actually feeds it. Keys fold_in-derived so the existing 6-key
+        # stream (pinned by test_focus_pairs_are_serving_grid_intervals)
+        # is untouched.
+        t_mid = 1.0 - 1.0 / train_cfg.focus_num_steps  # grid[1]
+        k_roll = jax.random.fold_in(key, 7)
+        k_x1 = jax.random.fold_in(key, 8)
+        roll = jax.random.bernoulli(k_roll, train_cfg.rollin_prob, (b,))
+        x1 = jax.random.normal(k_x1, latents.shape, latents.dtype)
+        ones = jnp.ones((b,), jnp.float32)
+        u1 = jax.lax.stop_gradient(imf_velocity(
+            student, cfg, x1, mask, ones, t_mid * ones, cond))
+        x_mid = x1 - (1.0 - t_mid) * u1
+        t = jnp.where(roll, t_mid, t)
+        r = jnp.where(roll, jnp.full((b,), train_cfg.t_floor, jnp.float32), r)
+        x_t = jnp.where(roll[:, None, None], x_mid, x_t)
 
     x_r = jax.lax.stop_gradient(
         teacher_rollout(teacher, cfg, x_t, mask, t, r, cond,

@@ -350,3 +350,44 @@ def test_imf_adversarial_steps(setup):
         for a, b in zip(jax.tree.leaves(s_on), jax.tree.leaves(s_off))
     )
     assert diff > 1e-6, diff
+
+
+def test_rollin_pairs_use_student_rollout_state(setup):
+    """rollin_prob=1 trains ONLY the second serving interval
+    (t_mid -> t_floor) and evaluates it at the student's OWN first-step
+    output from pure noise — the backward-simulation analog of the
+    reference's distill.py:248-287. Pinned by replicating the fold_in key
+    derivation + rollout math and asserting the training loss equals the
+    loss computed by hand on that state."""
+    from smalltts_tpu.train.imf import _interval_targets
+
+    teacher, batch, _ = setup
+    student = init_imf_student(teacher)
+    cfg_r = ImfConfig(rollout_substeps=2, rollin_prob=1.0, focus_prob=0.0)
+    key = jax.random.PRNGKey(11)
+    tgt = _interval_targets(TINY_BACKBONE, cfg_r, student, teacher, batch, key)
+
+    b = batch["latents"].shape[0]
+    assert np.allclose(np.asarray(tgt["t"]), 0.5), tgt["t"]
+    assert np.allclose(np.asarray(tgt["r_eff"]), cfg_r.t_floor), tgt["r_eff"]
+
+    # replicate the roll-in state by hand
+    k_x1 = jax.random.fold_in(key, 8)
+    x1 = jax.random.normal(k_x1, batch["latents"].shape,
+                           batch["latents"].dtype)
+    ones = jnp.ones((b,), jnp.float32)
+    cond = encode_conditions(
+        student, TINY_BACKBONE, batch["ref_latents"],
+        batch["ref_latents_lengths"], batch["phonemes"],
+        length_mask(batch["phonemes_lengths"], batch["phonemes"].shape[1]),
+    )
+    mask = length_mask(batch["latents_lengths"], batch["latents"].shape[1])
+    u1 = imf_velocity(student, TINY_BACKBONE, x1, mask, ones, 0.5 * ones, cond)
+    x_mid = x1 - 0.5 * u1
+    assert np.allclose(np.asarray(tgt["x_t"]), np.asarray(x_mid), atol=1e-5)
+
+    # and the full step still trains: finite, nonzero loss on the state
+    tx = optax.adamw(1e-4)
+    step = make_imf_step(TINY_BACKBONE, tx, cfg_r)
+    _, _, loss = step(student, tx.init(student), teacher, batch, key)
+    assert np.isfinite(float(loss)) and float(loss) > 1e-8
