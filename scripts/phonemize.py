@@ -16,5 +16,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from smalltts_tpu.text import get_token_ids  # noqa: E402
 
 if __name__ == "__main__":
+    if sys.argv[1:2] in (["-h"], ["--help"]) and len(sys.argv) == 2:
+        print(__doc__.strip())
+        print("\nusage: phonemize.py <text ...>   # JSON token ids on stdout")
+        sys.exit(0)
     text = " ".join(sys.argv[1:])
     print(json.dumps(get_token_ids(text)))
