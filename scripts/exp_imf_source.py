@@ -67,6 +67,14 @@ CONFIGS = {
     "focus_rollin": ("teacher",
                      dict(rollout_substeps=4, focus_prob=0.5,
                           rollin_prob=0.25)),
+    # round-4 wave 5a: does the ~0.2 plateau move when the BEST targeting
+    # configs get the 3x budget? (focus_long showed budget repairs what
+    # targeting starves but doesn't move IMF-2 — these two close the
+    # budget x targeting grid corner.)
+    "focus1_long": ("teacher",
+                    dict(rollout_substeps=4, focus_prob=1.0), 1200),
+    "rollin_long": ("teacher",
+                    dict(rollout_substeps=4, rollin_prob=0.5), 1200),
 }
 
 

@@ -36,6 +36,12 @@ def main() -> None:
                          "(the reference's DMD2 adversarial recipe "
                          "transplanted; corpus-measured best for the 1-step "
                          "path, see PERF.md round-4 wave 2)")
+    ap.add_argument("--rollin-prob", type=float, default=0.0,
+                    help="fraction of samples trained as the second serving "
+                         "interval on the student's OWN first-step rollout "
+                         "(backward simulation, reference distill.py:248-287; "
+                         "corpus-measured equal to focus for 2-step serving, "
+                         "doesn't stack with it — PERF.md round-4 wave 4)")
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--data-codec-checkpoint", default=None)
     args = ap.parse_args()
@@ -54,7 +60,8 @@ def main() -> None:
                   rollout_substeps=args.substeps,
                   boundary_prob=args.boundary_prob,
                   focus_prob=args.focus_prob,
-                  gan_weight=args.gan_weight),
+                  gan_weight=args.gan_weight,
+                  rollin_prob=args.rollin_prob),
         teacher_params=teacher,
         checkpoint_dir=args.checkpoint_dir,
         data_iter=cli_data_iter(args.data_dir, args.data_codec_checkpoint,
