@@ -43,18 +43,26 @@ import jax.numpy as jnp  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # the axon plugin clobbers the env
 
+# EVERY config pins focus_prob EXPLICITLY: ImfConfig.focus_prob's default
+# flipped to 0.5 mid-round (the wave-1/2 policy win), which silently turned
+# any later config that omitted it into a focus stack. Waves 3-4 were run
+# with that drift — the numbers are valid but the labels weren't: measured
+# "rollin"/"rollin_long"/"dmdgrad" were focus0.5+lever stacks (relabeled
+# in PERF.md), and "focus_dmdgrad" duplicated "dmdgrad". The *_pure
+# configs below close the single-lever holes.
 CONFIGS = {
     # name: (source, ImfConfig kwargs)
-    "base": ("teacher", dict(rollout_substeps=4)),
-    "sub12": ("teacher", dict(rollout_substeps=12)),
-    "dmd": ("dmd", dict(rollout_substeps=4)),
-    "dmd_sub12": ("dmd", dict(rollout_substeps=12)),
+    "base": ("teacher", dict(rollout_substeps=4, focus_prob=0.0)),
+    "sub12": ("teacher", dict(rollout_substeps=12, focus_prob=0.0)),
+    "dmd": ("dmd", dict(rollout_substeps=4, focus_prob=0.0)),
+    "dmd_sub12": ("dmd", dict(rollout_substeps=12, focus_prob=0.0)),
     "focus": ("teacher", dict(rollout_substeps=4, focus_prob=0.5)),
     "dmd_focus": ("dmd", dict(rollout_substeps=12, focus_prob=0.5)),
     # round-4 second wave (after the first grid measured focus=0.5 the
     # winner at IMF-2 excess 0.208 and refuted the dmd source):
     "focus1": ("teacher", dict(rollout_substeps=4, focus_prob=1.0)),
-    "gan": ("teacher", dict(rollout_substeps=4, gan_weight=1e-3)),
+    "gan": ("teacher", dict(rollout_substeps=4, focus_prob=0.0,
+                            gan_weight=1e-3)),
     "focus_gan": ("teacher",
                   dict(rollout_substeps=4, focus_prob=0.5, gan_weight=1e-3)),
     # round-4 wave 3: is the remaining gap training-BUDGET-limited or
@@ -62,19 +70,35 @@ CONFIGS = {
     "focus_long": ("teacher", dict(rollout_substeps=4, focus_prob=0.5), 1200),
     # round-4 wave 4: backward-simulation roll-in — train the second
     # serving interval on the student's OWN first-step output (the state
-    # the 2-step sampler actually feeds it; reference distill.py:248-287)
-    "rollin": ("teacher", dict(rollout_substeps=4, rollin_prob=0.5)),
+    # the 2-step sampler actually feeds it; reference distill.py:248-287).
+    # focus_rollin AS MEASURED was focus0.5+rollin0.5 (the default drift);
+    # rollin_pure is the single lever.
+    "rollin_pure": ("teacher", dict(rollout_substeps=4, focus_prob=0.0,
+                                    rollin_prob=0.5)),
     "focus_rollin": ("teacher",
                      dict(rollout_substeps=4, focus_prob=0.5,
-                          rollin_prob=0.25)),
+                          rollin_prob=0.5)),
+    "focus_rollin25": ("teacher",
+                       dict(rollout_substeps=4, focus_prob=0.5,
+                            rollin_prob=0.25)),
     # round-4 wave 5a: does the ~0.2 plateau move when the BEST targeting
-    # configs get the 3x budget? (focus_long showed budget repairs what
-    # targeting starves but doesn't move IMF-2 — these two close the
-    # budget x targeting grid corner.)
+    # configs get the 3x budget?
     "focus1_long": ("teacher",
                     dict(rollout_substeps=4, focus_prob=1.0), 1200),
-    "rollin_long": ("teacher",
-                    dict(rollout_substeps=4, rollin_prob=0.5), 1200),
+    "focus_rollin_long": ("teacher",
+                          dict(rollout_substeps=4, focus_prob=0.5,
+                               rollin_prob=0.5), 1200),
+    # round-4 wave 5b: the untried weapon CLASS — distribution matching on
+    # the served composition (the reference's core DMD gradient,
+    # make_imf_dmd_steps). Targeting schemes plateaued at ~0.2; the
+    # residual is the pure-noise first interval, which only a
+    # distributional signal can sharpen (its input distribution is
+    # already exactly right at train time).
+    "dmdgrad_pure": ("teacher", dict(rollout_substeps=4, focus_prob=0.0,
+                                     dmd_weight=1.0)),
+    "focus_dmdgrad": ("teacher",
+                      dict(rollout_substeps=4, focus_prob=0.5,
+                           dmd_weight=1.0)),
 }
 
 

@@ -36,6 +36,13 @@ def main() -> None:
                          "(the reference's DMD2 adversarial recipe "
                          "transplanted; corpus-measured best for the 1-step "
                          "path, see PERF.md round-4 wave 2)")
+    ap.add_argument("--dmd-weight", type=float, default=0.0,
+                    help="weight on the DMD distribution-matching pseudo-"
+                         "loss over the served few-step composition (the "
+                         "reference's core DMD2 gradient, distill.py:289-"
+                         "328, transplanted; adds a fake-score model with "
+                         "an imf_scorer_latest.npz sidecar — see PERF.md "
+                         "round-4 wave 5)")
     ap.add_argument("--rollin-prob", type=float, default=0.0,
                     help="fraction of samples trained as the second serving "
                          "interval on the student's OWN first-step rollout "
@@ -61,6 +68,7 @@ def main() -> None:
                   boundary_prob=args.boundary_prob,
                   focus_prob=args.focus_prob,
                   gan_weight=args.gan_weight,
+                  dmd_weight=args.dmd_weight,
                   rollin_prob=args.rollin_prob),
         teacher_params=teacher,
         checkpoint_dir=args.checkpoint_dir,

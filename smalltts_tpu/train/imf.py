@@ -99,6 +99,20 @@ class ImfConfig:
     # make_imf_adv_steps pair. Corpus-measured (scripts/exp_imf_source.py):
     # see PERF.md round-4 table.
     gan_weight: float = 0.0
+    # Weight on the DMD distribution-matching pseudo-loss applied to the
+    # student's SERVED few-step composition (the reference's core DMD2
+    # gradient, src/scripts/train/dmd2/distill.py:289-328, transplanted):
+    # roll the student over the serving grid from pure noise with gradient
+    # through the LAST interval only (the reference's backward-simulation
+    # gradient path), re-noise the composition's x0 at fresh ts, and push
+    # it where (teacher-CFG x0) - (scorer x0) points. 0.0 = off; > 0
+    # requires the make_imf_dmd_steps pair (adds a fake-score model).
+    # This is the one weapon class waves 1-4 left untried: regression
+    # targeting (focus/rollin) plateaued at ~0.2 IMF-2 mel excess with
+    # the residual attributed to the pure-noise first interval, which
+    # only a distributional signal can sharpen.
+    dmd_weight: float = 0.0
+    dmd_scorer_updates: int = 2
     save_every: int = 800
 
 
@@ -371,6 +385,150 @@ def make_imf_adv_steps(cfg: BackboneConfig, disc_cfg, tx, tx_disc,
     return student_step, disc_step
 
 
+def make_imf_dmd_steps(cfg: BackboneConfig, tx, tx_scorer,
+                       train_cfg: ImfConfig):
+    """DMD distribution matching on the IMF student's SERVED composition —
+    the reference's core DMD2 gradient (src/scripts/train/dmd2/
+    distill.py:289-328) transplanted to the interval student.
+
+    Why this shape: waves 1-4 (PERF.md round 4) showed every regression-
+    targeting scheme (focus / focus1 / rollin) recovers the same ~0.12 of
+    the IMF-2 mel excess and plateaus at ~0.2 — the residual lives in the
+    pure-noise first interval, whose input distribution is already exactly
+    right at train time, so no re-targeting can sharpen it. A distribution-
+    matching gradient on the composition's OUTPUT is the remaining signal
+    class: it doesn't care where the trajectory came from, only that the
+    produced x0 population matches the teacher's.
+
+    Per student step:
+      1. base interval-regression loss (_imf_base_loss on _interval_targets,
+         focus/rollin/boundary all still apply);
+      2. serving rollout from pure noise over linspace(1, 0,
+         focus_num_steps+1) — all intervals under stop_gradient except the
+         LAST (exactly the reference's backward-simulation gradient path:
+         its student runs at t_prev in inference_mode, grads flow through
+         the final call only, distill.py:255-287);
+      3. DMD pseudo-loss on the composition's x0: re-noise at fresh ts,
+         p_real from the frozen teacher with the reference's double CFG
+         (text 2.0 / speaker 1.5), p_fake from the fake-score model,
+         normalized + nan_to_num, applied as 0.5*MSE(x0, sg(x0 - grad))
+         (distill.py:289-328 verbatim semantics).
+    The scorer step then runs `dmd_scorer_updates` flow-matching updates on
+    the (detached) composition x0 as its "data" (distill.py:418-451; we
+    re-noise the SAME composition per update instead of re-rolling the
+    student — at 2 updates the staleness is negligible and it saves two
+    full student rollouts per step).
+
+    -> (student_step, scorer_step):
+        student_step(student, opt, teacher, scorer, batch, key)
+            -> student, opt, carry, {"imf_loss", "dmd_loss", "grad_mag"}
+        scorer_step(scorer, opt, batch, carry, key) -> scorer, opt, loss
+    """
+    from smalltts_tpu.models.backbone import backbone_forward, cfg_velocity
+    from smalltts_tpu.ops.schedule import apply_noise, x_pred_from_velocity
+    from smalltts_tpu.train.distill import CFG_SCALE_SPEAKER, CFG_SCALE_TEXT
+
+    sg = jax.lax.stop_gradient
+    n_steps = train_cfg.focus_num_steps
+    grid = jnp.linspace(1.0, 0.0, n_steps + 1)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def student_step(student, opt_state, teacher, scorer, batch, key):
+        k_tgt, k_x1, k_ts, k_noise = jax.random.split(key, 4)
+        tgt = _interval_targets(cfg, train_cfg, student, teacher, batch, k_tgt)
+        latents = batch["latents"]
+        b = latents.shape[0]
+        mask = tgt["mask"]
+        valid = mask[..., None].astype(jnp.float32)
+        ph = batch["phonemes"]
+        ph_mask = length_mask(batch["phonemes_lengths"], ph.shape[1])
+        ref = batch["ref_latents"]
+        ref_len = batch["ref_latents_lengths"]
+
+        x1 = jax.random.normal(k_x1, latents.shape, latents.dtype)
+        ts = jax.random.uniform(k_ts, (b,))
+        noise = jax.random.normal(k_noise, latents.shape)
+
+        def rollout_last_with_grad(p):
+            """Serving-grid rollout; gradient through the LAST interval."""
+            x = x1
+            for i in range(n_steps - 1):
+                t0 = jnp.full((b,), grid[i], jnp.float32)
+                r0 = jnp.full((b,), jnp.maximum(grid[i + 1],
+                                                train_cfg.t_floor), jnp.float32)
+                u = sg(imf_velocity(p, cfg, x, mask, t0, r0, tgt["cond"]))
+                x = x - (t0 - r0)[:, None, None].astype(x.dtype) * u
+            t_last = jnp.full((b,), grid[n_steps - 1], jnp.float32)
+            r_last = jnp.full((b,), train_cfg.t_floor, jnp.float32)
+            u = imf_velocity(p, cfg, sg(x), mask, t_last, r_last, tgt["cond"])
+            x0 = x - (t_last - r_last)[:, None, None].astype(x.dtype) * u
+            return jnp.where(mask[..., None], x0, 0.0)
+
+        # DMD target from the DETACHED composition (the reference computes
+        # it in a no-grad section, distill.py:289-322)
+        x0_d = sg(rollout_last_with_grad(student))
+        x_t, _ = apply_noise(x0_d, ts, noise)
+        v_real = cfg_velocity(teacher, cfg, x_t, ref, ref_len, mask, ph,
+                              ph_mask, ts, CFG_SCALE_TEXT, CFG_SCALE_SPEAKER)
+        p_real = (x0_d - x_pred_from_velocity(x_t, sg(v_real), ts)) * valid
+        v_fake = backbone_forward(scorer, cfg, x_t, ref, ref_len, mask, ph,
+                                  ph_mask, ts)
+        p_fake = (x0_d - x_pred_from_velocity(x_t, sg(v_fake), ts)) * valid
+        denom = jnp.abs(p_real).mean(axis=(1, 2), keepdims=True)
+        grad = jnp.nan_to_num((p_real - p_fake) / denom)
+        target = x0_d - grad
+        grad_mag = jnp.linalg.norm(grad.reshape(b, -1), axis=-1).mean()
+
+        def loss_fn(p):
+            base = _imf_base_loss(p, cfg, tgt)
+            x0 = rollout_last_with_grad(p)
+            n_valid = jnp.maximum(valid.sum() * x0.shape[-1], 1.0)
+            dmd = 0.5 * (((x0 - target) ** 2) * valid).sum() / n_valid
+            aux = {"imf_loss": base, "dmd_loss": dmd}
+            return base + train_cfg.dmd_weight * dmd, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(student)
+        updates, opt_state = tx.update(grads, opt_state, student)
+        student = optax.apply_updates(student, updates)
+        carry = {"x0": x0_d}
+        return student, opt_state, carry, {**aux, "grad_mag": grad_mag}
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def scorer_step(scorer, scorer_opt, batch, carry, key):
+        latents = batch["latents"]
+        mask = length_mask(batch["latents_lengths"], latents.shape[1])
+        valid = mask[..., None].astype(jnp.float32)
+        ph = batch["phonemes"]
+        ph_mask = length_mask(batch["phonemes_lengths"], ph.shape[1])
+        ref = batch["ref_latents"]
+        ref_len = batch["ref_latents_lengths"]
+        x0 = carry["x0"]
+
+        def one_update(state, k):
+            scorer_p, opt_state = state
+            k1, k2 = jax.random.split(k)
+            ts = jax.random.uniform(k1, (latents.shape[0],))
+            noised, v_target = apply_noise(
+                x0, ts, jax.random.normal(k2, latents.shape))
+
+            def fm_loss(sp):
+                v = backbone_forward(sp, cfg, noised, ref, ref_len, mask,
+                                     ph, ph_mask, ts)
+                diff = ((v - v_target) * valid) ** 2
+                return diff.sum() / jnp.maximum(valid.sum() * v.shape[-1], 1.0)
+
+            loss, grads = jax.value_and_grad(fm_loss)(scorer_p)
+            updates, opt_state = tx_scorer.update(grads, opt_state, scorer_p)
+            return (optax.apply_updates(scorer_p, updates), opt_state), loss
+
+        (scorer, scorer_opt), losses = jax.lax.scan(
+            one_update, (scorer, scorer_opt),
+            jax.random.split(key, train_cfg.dmd_scorer_updates))
+        return scorer, scorer_opt, losses[-1]
+
+    return student_step, scorer_step
+
+
 def imf_sample(student, cfg: BackboneConfig, cond, seq_lengths, t_bucket: int,
                key, num_steps: int = 1) -> jax.Array:
     """Few-step sampling with the integral-velocity student -> latents.
@@ -448,8 +606,24 @@ def train_imf(
     data_iter = data_iter or get_dummy_dataloader(train_cfg.batch_size, seed)
     saver = ckpt.AsyncCheckpointer()
 
+    if train_cfg.gan_weight > 0.0 and train_cfg.dmd_weight > 0.0:
+        raise ValueError(
+            "gan_weight and dmd_weight are separate drivers; corpus "
+            "evidence (PERF.md round 4) shows neither stacks with the "
+            "focus/rollin regression targeting — pick one")
+
     disc = disc_opt = disc_step = tx_disc = None
-    if train_cfg.gan_weight > 0.0:
+    scorer = scorer_opt = scorer_step = tx_scorer = None
+    if train_cfg.dmd_weight > 0.0:
+        scorer = jax.tree.map(jnp.copy, teacher_params)
+        tx_scorer = optax.chain(
+            optax.clip_by_global_norm(train_cfg.grad_clip),
+            optax.adamw(train_cfg.lr),
+        )
+        scorer_opt = tx_scorer.init(scorer)
+        step_fn, scorer_step = make_imf_dmd_steps(model_cfg, tx, tx_scorer,
+                                                  train_cfg)
+    elif train_cfg.gan_weight > 0.0:
         from smalltts_tpu.models.discriminator import (
             DiscriminatorConfig,
             init_discriminator,
@@ -478,7 +652,18 @@ def train_imf(
         batch = next(data_iter)
         batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "texts"}
         key, sub, k_d = jax.random.split(key, 3)
-        if disc_step is not None:
+        if scorer_step is not None:
+            student, opt_state, carry, metrics = step_fn(
+                student, opt_state, teacher_params, scorer, batch, sub)
+            scorer, scorer_opt, sc_loss = scorer_step(scorer, scorer_opt,
+                                                      batch, carry, k_d)
+            loss = metrics["imf_loss"]
+            if step % log_every == 0:
+                print(f"step {step}: imf_loss={float(loss):.5f} "
+                      f"dmd={float(metrics['dmd_loss']):.5f} "
+                      f"scorer={float(sc_loss):.5f} "
+                      f"grad_mag={float(metrics['grad_mag']):.4f}")
+        elif disc_step is not None:
             student, opt_state, carry, metrics = step_fn(
                 student, opt_state, teacher_params, disc, batch, sub)
             disc, disc_opt, d_loss = disc_step(disc, disc_opt, teacher_params,
@@ -499,5 +684,8 @@ def train_imf(
             if disc is not None:
                 saver.save_pytree(
                     f"{checkpoint_dir}/imf_discriminator_latest.npz", disc)
+            if scorer is not None:
+                saver.save_pytree(
+                    f"{checkpoint_dir}/imf_scorer_latest.npz", scorer)
     saver.close()
     return student, float(loss) if loss is not None else None

@@ -391,3 +391,84 @@ def test_rollin_pairs_use_student_rollout_state(setup):
     step = make_imf_step(TINY_BACKBONE, tx, cfg_r)
     _, _, loss = step(student, tx.init(student), teacher, batch, key)
     assert np.isfinite(float(loss)) and float(loss) > 1e-8
+
+
+def test_imf_dmd_steps(setup):
+    """make_imf_dmd_steps mechanics (the reference's core DMD2 gradient,
+    src/scripts/train/dmd2/distill.py:289-328, on the served composition):
+    alternating student/scorer updates produce finite losses, the scorer
+    moves toward the student's output distribution, the DMD term reaches
+    the student (weight 1 vs 0 diverge from identical inits/keys), and the
+    student's gradient flows through the LAST serving interval only."""
+    from smalltts_tpu.train.imf import make_imf_dmd_steps
+
+    teacher, batch, _ = setup
+
+    def run(dmd_weight, steps=6):
+        cfg = ImfConfig(rollout_substeps=2, dmd_weight=dmd_weight,
+                        dmd_scorer_updates=2)
+        student = init_imf_student(teacher)
+        scorer = jax.tree.map(jnp.copy, teacher)
+        tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
+        tx_sc = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
+        opt, opt_sc = tx.init(student), tx_sc.init(scorer)
+        sstep, scstep = make_imf_dmd_steps(TINY_BACKBONE, tx, tx_sc, cfg)
+        key = jax.random.PRNGKey(13)
+        sc_losses = []
+        for _ in range(steps):
+            key, k1, k2 = jax.random.split(key, 3)
+            student, opt, carry, m = sstep(student, opt, teacher, scorer,
+                                           batch, k1)
+            assert np.isfinite(float(m["imf_loss"]))
+            assert np.isfinite(float(m["dmd_loss"]))
+            assert np.isfinite(float(m["grad_mag"]))
+            # the carry is the served composition: masked latents shape
+            assert carry["x0"].shape == batch["latents"].shape
+            mask = length_mask(batch["latents_lengths"],
+                               batch["latents"].shape[1])
+            assert float(jnp.abs(
+                jnp.where(mask[..., None], 0.0, carry["x0"])).max()) == 0.0
+            scorer, opt_sc, sc_loss = scstep(scorer, opt_sc, batch, carry, k2)
+            sc_losses.append(float(sc_loss))
+            assert np.isfinite(sc_losses[-1])
+        return student, scorer, sc_losses
+
+    s_on, scorer_on, sc_losses = run(1.0, steps=8)
+    # scorer flow-matching loss descends as it fits the student's outputs
+    assert np.mean(sc_losses[-3:]) < np.mean(sc_losses[:3]), sc_losses
+    # the DMD term reaches the student: same keys, weight 1 vs 0
+    s_off, _, _ = run(0.0, steps=8)
+    diff = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(s_on), jax.tree.leaves(s_off))
+    )
+    assert diff > 1e-6, diff
+
+
+def test_imf_dmd_gradient_flows_through_last_interval_only(setup):
+    """The serving rollout inside the DMD loss detaches every interval but
+    the last (the reference's backward-simulation gradient path,
+    distill.py:255-287). Pinned by differentiating a 2-step composition
+    w.r.t. a probe scale on the FIRST interval's velocity: zero gradient."""
+    from smalltts_tpu.train.imf import _interval_targets, make_imf_dmd_steps  # noqa: F401
+
+    teacher, batch, cond = setup
+    student = init_imf_student(teacher)
+    mask = length_mask(batch["latents_lengths"], batch["latents"].shape[1])
+    b = batch["latents"].shape[0]
+    x1 = jax.random.normal(jax.random.PRNGKey(3), batch["latents"].shape)
+    t_floor = 0.02
+
+    def compose(scale_first):
+        ones = jnp.ones((b,), jnp.float32)
+        u1 = imf_velocity(student, TINY_BACKBONE, x1, mask, ones, 0.5 * ones,
+                          cond)
+        # the production rollout wraps u1 in stop_gradient; replicate
+        x_mid = x1 - 0.5 * jax.lax.stop_gradient(scale_first * u1)
+        u2 = imf_velocity(student, TINY_BACKBONE, jax.lax.stop_gradient(x_mid),
+                          mask, 0.5 * ones, t_floor * ones, cond)
+        x0 = x_mid - (0.5 - t_floor) * u2
+        return (x0 ** 2).sum()
+
+    g = jax.grad(compose)(1.0)
+    assert float(jnp.abs(g)) == 0.0

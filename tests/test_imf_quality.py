@@ -183,6 +183,7 @@ def _train_imf(teacher, batch, cfg, steps=400, imf_cfg=None):
         ImfConfig,
         init_imf_student,
         make_imf_adv_steps,
+        make_imf_dmd_steps,
         make_imf_step,
     )
 
@@ -191,6 +192,20 @@ def _train_imf(teacher, batch, cfg, steps=400, imf_cfg=None):
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4))
     opt = tx.init(student)
     key = jax.random.PRNGKey(4)
+    if imf_cfg.dmd_weight > 0.0:
+        scorer = jax.tree.map(jnp.copy, teacher)
+        tx_sc = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(3e-4))
+        opt_sc = tx_sc.init(scorer)
+        sstep, scstep = make_imf_dmd_steps(cfg, tx, tx_sc, imf_cfg)
+        for _ in range(steps):
+            key, k1, k2 = jax.random.split(key, 3)
+            student, opt, carry, m = sstep(student, opt, teacher, scorer,
+                                           batch, k1)
+            scorer, opt_sc, sc_loss = scstep(scorer, opt_sc, batch, carry, k2)
+            assert np.isfinite(float(m["imf_loss"]))
+            assert np.isfinite(float(m["dmd_loss"]))
+            assert np.isfinite(float(sc_loss))
+        return student
     if imf_cfg.gan_weight > 0.0:
         from smalltts_tpu.models.discriminator import init_discriminator
         from test_distill import TINY_DISC

@@ -45,7 +45,8 @@ def test_full_toolchain_checkpoint_chain(tmp_path):
     from smalltts_tpu.train.sv_train import SVTrainConfig, train_sv
     from smalltts_tpu.train.teacher import TeacherTrainConfig, train_teacher
 
-    d = {k: str(tmp_path / k) for k in ("teacher", "asr", "sv", "dmd", "imf")}
+    d = {k: str(tmp_path / k)
+         for k in ("teacher", "asr", "sv", "dmd", "imf", "imf_dmd")}
 
     # 1) flow-matching teacher
     train_teacher(
@@ -91,6 +92,22 @@ def test_full_toolchain_checkpoint_chain(tmp_path):
     assert os.path.exists(imf_path)
     assert os.path.exists(
         os.path.join(d["imf"], "imf_discriminator_latest.npz"))
+
+    # 5b) the DMD-gradient driver branch (dmd_weight > 0 builds + alternates
+    # the fake-score model and writes its sidecar checkpoint)
+    train_imf(ImfConfig(num_steps=3, save_every=2, rollout_substeps=2,
+                        dmd_weight=1.0, dmd_scorer_updates=1),
+              model_cfg=TINY_BACKBONE, teacher_checkpoint=student_path,
+              checkpoint_dir=d["imf_dmd"], data_iter=_tiny_data(5),
+              log_every=1)
+    assert os.path.exists(
+        os.path.join(d["imf_dmd"], "imf_student_latest.npz"))
+    assert os.path.exists(
+        os.path.join(d["imf_dmd"], "imf_scorer_latest.npz"))
+    with pytest.raises(ValueError):  # the two drivers are exclusive
+        train_imf(ImfConfig(gan_weight=1e-3, dmd_weight=1.0),
+                  model_cfg=TINY_BACKBONE, teacher_checkpoint=student_path,
+                  checkpoint_dir=d["imf_dmd"], data_iter=_tiny_data(6))
 
     # 6) serve each checkpoint through the public pipeline
     ref = np.random.RandomState(0).randn(6, 64).astype(np.float32)
