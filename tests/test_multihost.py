@@ -78,19 +78,23 @@ def test_fetch_replicated_gathers_sharded_arrays():
 @pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
                     reason="two-process distributed dryrun (~2 min); RUN_SLOW=1")
 def test_dryrun_multihost_end_to_end():
-    """The real thing: 2 processes x 2 CPU devices, dp=4 across the process
-    boundary, replica-consistent loss equal to the single-process anchor,
-    single-writer checkpoint."""
+    """The real thing: 2 processes x 2 CPU devices; phase 1 dp=4 across the
+    process boundary, phase 2 dp=2 x tp=2 (tp groups process-local, the ICI
+    story; the reference has no TP anywhere) — both replica-consistent and
+    equal to the single-process anchor, single-writer checkpoints, and the
+    tp-sharded EMA checkpoint allgathered back to full tensor shapes."""
     env = {k: v for k, v in os.environ.items()
            if not k.startswith(("SMALLTTS_", "XLA_FLAGS", "JAX_PLATFORMS"))}
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "dryrun_multihost.py")],
-        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=1200, cwd=REPO, env=env,
     )
     assert proc.returncode == 0, proc.stderr[-2000:] + proc.stdout[-1000:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     assert result["ok"] is True
-    assert result["rel_diff"] < 2e-4
+    assert result["rel_diff_tp1"] < 2e-4
+    assert result["rel_diff_tp2"] < 2e-4
+    assert result["tp_ckpt_leaves"] > 0
 
 
 def test_pod_env_triggers_argless_initialize(monkeypatch):

@@ -291,3 +291,112 @@ def test_mixed_adversarial_traffic_leaves_server_healthy(tmp_path):
                        tag="post-paid")
     assert st == 200 and data[:4] == b"RIFF"
     loop.call_soon_threadsafe(loop.stop)
+
+
+def test_adaptive_growth_survives_chaos(tmp_path):
+    """The adaptive batch controller under concurrent hostile traffic
+    (round-4 interaction coverage): a paid burst deep enough to escalate
+    the class, interleaved with the attacker mix — malformed bodies,
+    nonfinite durations, bad payments. Asserts the escalation HAPPENS
+    (observed via /stats mid-burst), every paid request still succeeds
+    during it, hostile requests cannot perturb the ladder into a wedged
+    state, and the drain walks the class back down. Policy-level behavior
+    is pinned on fake pipelines in test_adaptive_batch.py; this drives it
+    through the full HTTP + payments + dispatch path."""
+    import time
+
+    class _SlowTTS(_FastTTS):
+        # ~40 ms of fake device time per dispatch: the burst sustains
+        # queue depth >= 2x the base class so the controller must grow
+        def synthesize_padded(self, ref, ref_lens, ph, ph_lens, seq_lens,
+                              t_bucket, key=None, fetch=True):
+            time.sleep(0.04)
+            return super().synthesize_padded(
+                ref, ref_lens, ph, ph_lens, seq_lens, t_bucket, key, fetch)
+
+    server = TTSServer(tts=_SlowTTS(), x402_cfg=X402Config(mode="local"),
+                       tokenizer=lambda t: [1, 2, 3],
+                       max_batch=2, growth_limit=8)
+    port, loop = _start(server)
+    body, ctype = build_multipart({"audio": _wav(), "text": "growth chaos"})
+    errors, classes = [], []
+    lock = threading.Lock()
+
+    def post(path, headers=None, payload=body, expect=None, tag=""):
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("POST", path, body=payload,
+                         headers={"content-type": ctype, **(headers or {})})
+            resp = conn.getresponse()
+            data = resp.read()
+            conn.close()
+            if expect is not None and resp.status not in expect:
+                with lock:
+                    errors.append((tag, resp.status, data[:80]))
+            return resp.status, dict(resp.getheaders()), data
+        except Exception as exc:  # noqa: BLE001
+            with lock:
+                errors.append((tag, "exc", repr(exc)[:120]))
+            return None, {}, b""
+
+    def get_stats():
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/stats")
+        data = json.loads(conn.getresponse().read())
+        conn.close()
+        return data
+
+    _, hdrs, _ = post("/synthesize?duration=1.0", expect={402}, tag="chal")
+    accept = json.loads(base64.b64decode(
+        {k.lower(): v for k, v in hdrs.items()}["payment-required"]
+    ))["accepts"][0]
+
+    stop_polling = threading.Event()
+
+    def poller():
+        while not stop_polling.is_set():
+            try:
+                classes.append(get_stats()["batch_class"])
+            except Exception:  # noqa: BLE001
+                pass
+            time.sleep(0.01)
+
+    def payer(i):
+        payment = server.gate.sign_payment(PRIV + 1000 + i, accept)
+        st, _, data = post("/synthesize?duration=1.0",
+                           headers={"x-payment": payment},
+                           expect={200}, tag="paid")
+        if st == 200:
+            assert data[:4] == b"RIFF"
+
+    def attacker(i):
+        post("/synthesize?duration=nan", expect={400}, tag="nonfinite")
+        post("/synthesize?duration=1.0", payload=b"junk",
+             expect={400, 402}, tag="garbage")
+        post("/synthesize?duration=1.0", headers={"x-payment": "AAAA"},
+             expect={402}, tag="badpay")
+
+    poll_thread = threading.Thread(target=poller, daemon=True)
+    poll_thread.start()
+    threads = [threading.Thread(target=payer, args=(i,)) for i in range(24)]
+    threads += [threading.Thread(target=attacker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive(), "client thread hung"
+
+    # drain walk-back: sequential pings tick the controller at depth ~1
+    # (shrink needs 4 consecutive low-depth ticks)
+    for i in range(8):
+        payment = server.gate.sign_payment(PRIV + 2000 + i, accept)
+        post("/synthesize?duration=1.0", headers={"x-payment": payment},
+             expect={200}, tag="drain")
+    stop_polling.set()
+    poll_thread.join(timeout=10)
+
+    assert not errors, errors
+    assert max(classes) == 8, (
+        f"controller never escalated under a 24-deep paid burst: {classes}")
+    assert get_stats()["batch_class"] == 2, "class did not walk back on drain"
+    loop.call_soon_threadsafe(loop.stop)
