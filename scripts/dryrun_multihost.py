@@ -203,12 +203,27 @@ def _run_phase(tp: int, ckpt_path: str) -> dict:
         )
         for rank in range(NUM_PROCESSES)
     ]
-    results = {}
+    # reap EVERY rank before judging: raising on the first failure would
+    # orphan the other worker blocked on the distributed barrier (holding
+    # the coordinator port) and hide its error output (review r4)
+    outs, failures = {}, []
     for rank, p in enumerate(procs):
-        out, err = p.communicate(timeout=900)
+        try:
+            outs[rank] = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            outs[rank] = p.communicate()
+            failures.append(f"tp={tp} rank {rank} TIMED OUT")
         if p.returncode != 0:
-            raise SystemExit(
-                f"tp={tp} rank {rank} FAILED rc={p.returncode}\n{err[-2000:]}")
+            failures.append(f"tp={tp} rank {rank} FAILED rc={p.returncode}\n"
+                            f"{outs[rank][1][-2000:]}")
+    if failures:
+        for p in procs:  # belt-and-braces: no worker may outlive the phase
+            if p.poll() is None:
+                p.kill()
+        raise SystemExit("\n".join(failures))
+    results = {}
+    for rank, (out, _err) in outs.items():
         line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
         results[rank] = json.loads(line)
 
@@ -258,7 +273,6 @@ def main() -> int:
     # it sets the 4-device XLA flag, which only takes effect at backend init
     ref_loss = single_process_reference()
     n_leaves = _check_ckpt_shapes_full(r_tp["ckpt"])
-    import numpy as np  # noqa: F401
 
     rels = {}
     for r in (r_dp, r_tp):

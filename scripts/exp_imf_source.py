@@ -25,7 +25,7 @@ plus dmd_student_4 as the anchor, on the tests/test_imf_quality.py
 synthetic-corpus harness.
 
 Usage: JAX_PLATFORMS=cpu python scripts/exp_imf_source.py [config ...]
-  configs: base sub12 dmd dmd_sub12 focus dmd_focus all (default: all)
+  (configs: every CONFIGS key below, or `all`; --help prints the live list)
 """
 
 import os
@@ -105,6 +105,7 @@ CONFIGS = {
 def main():
     if sys.argv[1:2] in (["-h"], ["--help"]):
         print(__doc__.strip())
+        print(f"\nconfigs: {' '.join(CONFIGS)} all")
         return
     names = sys.argv[1:] or ["all"]
     if names == ["all"]:

@@ -474,6 +474,12 @@ def make_imf_dmd_steps(cfg: BackboneConfig, tx, tx_scorer,
         v_fake = backbone_forward(scorer, cfg, x_t, ref, ref_len, mask, ph,
                                   ph_mask, ts)
         p_fake = (x0_d - x_pred_from_velocity(x_t, sg(v_fake), ts)) * valid
+        # NB the denominator averages |p_real| over ALL T*D positions,
+        # padding included — deliberately: it is the reference's own
+        # convention (distill.py:319-321 masks p_real with `valid` then
+        # divides by the unmasked mean), and the in-repo DMD2 distiller
+        # (train/distill.py) matches it; diverging here would make the
+        # IMF and DMD gradients incomparable on the same batch
         denom = jnp.abs(p_real).mean(axis=(1, 2), keepdims=True)
         grad = jnp.nan_to_num((p_real - p_fake) / denom)
         target = x0_d - grad
@@ -579,6 +585,14 @@ def train_imf(
     from smalltts_tpu.data.dummy import get_dummy_dataloader
     from smalltts_tpu.utils import checkpoint as ckpt
 
+    # validate BEFORE any resource is constructed (the AsyncCheckpointer
+    # spawns a worker thread that only close() reaps — review r4)
+    if train_cfg.gan_weight > 0.0 and train_cfg.dmd_weight > 0.0:
+        raise ValueError(
+            "gan_weight and dmd_weight are separate drivers; corpus "
+            "evidence (PERF.md round 4) shows neither stacks with the "
+            "focus/rollin regression targeting — pick one")
+
     model_cfg = model_cfg or BackboneConfig()
     if teacher_params is None:
         teacher_params = ckpt.load_pytree(teacher_checkpoint)
@@ -605,12 +619,6 @@ def train_imf(
     opt_state = tx.init(student)
     data_iter = data_iter or get_dummy_dataloader(train_cfg.batch_size, seed)
     saver = ckpt.AsyncCheckpointer()
-
-    if train_cfg.gan_weight > 0.0 and train_cfg.dmd_weight > 0.0:
-        raise ValueError(
-            "gan_weight and dmd_weight are separate drivers; corpus "
-            "evidence (PERF.md round 4) shows neither stacks with the "
-            "focus/rollin regression targeting — pick one")
 
     disc = disc_opt = disc_step = tx_disc = None
     scorer = scorer_opt = scorer_step = tx_scorer = None
