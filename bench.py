@@ -24,9 +24,11 @@ hand-derived (VERDICT r3 weak #5). `mfu` uses the chained-dispatch time
 in-graph probe runs, `mfu_ingraph` is the device-truth number.
 
 Env knobs: the DEFAULT grid is the reference's 2/5/10 s at batch 1/8
-(6 cells, driver-captured per VERDICT r3 weak #6); BENCH_FULL=1 adds the
-batch 2/4 columns (12 cells); BENCH_SCALE=1 -> extra batch 16/32/64
-throughput cells; BENCH_INGRAPH=0 -> skip the in-graph K-repeat
+(6 cells, driver-captured per VERDICT r3 weak #6) plus 5 s batch 32/64 —
+b32 is the serving default's adaptive ceiling, so its MFU belongs in the
+driver record (VERDICT r4 #3); BENCH_FULL=1 adds the batch 2/4 columns;
+BENCH_SCALE=1 adds b16; BENCH_SCALE=0 drops the scale cells;
+BENCH_INGRAPH=0 -> skip the in-graph K-repeat
 pure-compute probe that runs by default (two extra large compiles);
 BENCH_STAGES=1 -> in-graph per-stage split; JAX_CACHE_DIR -> compilation
 cache.
@@ -109,7 +111,18 @@ def main() -> None:
         batches = [1, 2, 4, 8]
     else:
         batches = [1, 8]
-    scale_batches = [16, 32, 64] if os.environ.get("BENCH_SCALE") == "1" else []
+    # b32 is the serving default's adaptive ceiling (serving/batcher.py
+    # batch_ladder) — its cell belongs in the driver-captured record, not
+    # behind an opt-in (VERDICT r4 #3). b64 shows the headroom beyond it.
+    # BENCH_SCALE=1 adds b16; BENCH_SCALE=0 drops the scale cells entirely
+    # (quick runs on a flaky tunnel).
+    scale_env = os.environ.get("BENCH_SCALE")
+    if scale_env == "0":
+        scale_batches = []
+    elif scale_env == "1":
+        scale_batches = [16, 32, 64]
+    else:
+        scale_batches = [32, 64]
     warmup, runs = 1, 3
     results = {}
     detail = {}
@@ -257,13 +270,16 @@ def main() -> None:
     try:
         from jax import lax
 
-        key0 = (5.0, 8) if (5.0, 8) in results else None
+        # probe the headline cell AND the serving default's adaptive
+        # ceiling (b32, serving/batcher.py batch_ladder) — the b32 MFU in
+        # the driver record should be device truth, not a dispatch-bound
+        # lower bound (VERDICT r4 #3)
+        ingraph_cells = [c for c in ((5.0, 8), (5.0, 32)) if c in results]
         # default ON since the params-as-arguments fix made the scan a
         # normal-size compile; BENCH_INGRAPH=0 disables
         if os.environ.get("BENCH_INGRAPH", "1") == "0":
-            key0 = None
-        if key0 is not None:
-            dur, bs = key0
+            ingraph_cells = []
+        for dur, bs in ingraph_cells:
             seq = frames_for_duration(dur)
             t_bucket = pick_bucket(seq, LATENT_BUCKETS)
             r_bucket = pick_bucket(ref_frames, SERVING_REF_BUCKETS)
@@ -326,7 +342,8 @@ def main() -> None:
                     tks.append(t2 - t1)
             ingraph_ms = 1e3 * max(min(tks) - min(t1s), 1e-9) / (K - 1)
             audio_sec = seq * HOP_SIZE / SAMPLE_RATE
-            detail["ingraph_5s_b8"] = {
+            cell = f"ingraph_{dur:g}s_b{bs}"
+            detail[cell] = {
                 "compute_ms": round(ingraph_ms, 2),
                 "rtf": round(ingraph_ms / 1e3 / (audio_sec * bs), 6),
             }
@@ -337,11 +354,11 @@ def main() -> None:
                 util = utilization(costs[(dur, bs)]["flops"],
                                    costs[(dur, bs)]["bytes"],
                                    ingraph_ms / 1e3)
-                detail["ingraph_5s_b8"].update(
+                detail[cell].update(
                     {k: util[k] for k in
                      ("achieved_tflops", "mfu", "hbm_gbps", "hbm_frac")})
             print(
-                f"in-graph probe (5s b8): {ingraph_ms:.1f} ms "
+                f"in-graph probe ({dur:g}s b{bs}): {ingraph_ms:.1f} ms "
                 f"rtf={ingraph_ms / 1e3 / (audio_sec * bs):.6f}",
                 file=sys.stderr,
             )

@@ -94,10 +94,17 @@ def _run_step(mesh, batch_global, ckpt_path=None, tp_sharded=False):
         params = shard_params(params_h, mesh)
         ema = jax.device_put(ema_init(params_h),
                              param_shardings(params_h, mesh))
+        # optimizer moments mirror the param shardings (the layout a real
+        # tp run uses — param_shardings' substring rules match the mu/nu
+        # paths inside the optax state; replicated moments would make
+        # GSPMD reshard and the dryrun would not exercise the real layout;
+        # advisor r4)
+        opt_h = tx.init(params_h)
+        opt_state = jax.device_put(opt_h, param_shardings(opt_h, mesh))
     else:
         params = replicated(params_h, mesh)
         ema = replicated(ema_init(params_h), mesh)
-    opt_state = replicated(tx.init(params_h), mesh)
+        opt_state = replicated(tx.init(params_h), mesh)
     step = make_teacher_step(TINY_BACKBONE, tx)
     params, opt_state, ema, loss = step(params, opt_state, ema, batch_global,
                                         jax.random.PRNGKey(3))

@@ -57,7 +57,10 @@ CONFIGS = {
     "dmd": ("dmd", dict(rollout_substeps=4, focus_prob=0.0)),
     "dmd_sub12": ("dmd", dict(rollout_substeps=12, focus_prob=0.0)),
     "focus": ("teacher", dict(rollout_substeps=4, focus_prob=0.5)),
-    "dmd_focus": ("dmd", dict(rollout_substeps=12, focus_prob=0.5)),
+    # named for what it measures: dmd source + sub12 + focus (the old
+    # "dmd_focus" label hid the substeps lever — advisor r4; PERF.md's
+    # historical rows keep the old name with this mapping noted)
+    "dmd_sub12_focus": ("dmd", dict(rollout_substeps=12, focus_prob=0.5)),
     # round-4 second wave (after the first grid measured focus=0.5 the
     # winner at IMF-2 excess 0.208 and refuted the dmd source):
     "focus1": ("teacher", dict(rollout_substeps=4, focus_prob=1.0)),

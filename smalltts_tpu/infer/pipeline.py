@@ -129,6 +129,23 @@ class SmallTTS:
         Serving opt-in (`serve.py --pcm16`); float consumers (long-form
         crossfade, quality metrics) must divide by 32767 first.
         """
+        # Autoconfigure from checkpoint-embedded metadata when the caller
+        # passes no explicit config (utils/config_io): tiny experiment
+        # checkpoints, resized students and the full 328M all load with zero
+        # ceremony. An explicit cfg always wins; meta-free (old-format) npz
+        # and reference .pt checkpoints keep the full-size default.
+        if (cfg is None or codec_cfg is None) and (checkpoint or codec_checkpoint):
+            from smalltts_tpu.utils import checkpoint as _ckpt_meta
+            from smalltts_tpu.utils.config_io import (
+                backbone_config_from_meta,
+                codec_config_from_meta,
+            )
+
+            if cfg is None and checkpoint and checkpoint.endswith(".npz"):
+                cfg = backbone_config_from_meta(_ckpt_meta.load_meta(checkpoint))
+            if codec_cfg is None and codec_checkpoint and codec_checkpoint.endswith(".npz"):
+                codec_cfg = codec_config_from_meta(
+                    _ckpt_meta.load_meta(codec_checkpoint))
         self.cfg = cfg or BackboneConfig()
         self.codec_cfg = codec_cfg or CodecConfig()
         self.mesh = mesh  # optional jax.sharding.Mesh: batch shards over "dp"

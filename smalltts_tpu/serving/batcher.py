@@ -180,6 +180,8 @@ class Batcher:
         self.latency_slo_ms = latency_slo_ms
         self._classes = batch_ladder(max_batch, growth_limit)
         self._cls_idx = 0
+        self._max_cls_idx = 0  # high-water mark (tests/stats: 10 ms pollers
+        # on a loaded 1-core host can miss a transient peak; advisor r4)
         self._grow_streak = 0
         self._shrink_streak = 0
         self._sojourn_ms = collections.deque(maxlen=128)
@@ -221,6 +223,13 @@ class Batcher:
         configured max_batch when adaptivity is disabled)."""
         return self._classes[self._cls_idx]
 
+    @property
+    def max_batch_class(self) -> int:
+        """Highest class the controller ever escalated to (server lifetime).
+        The stats poller samples batch_class at ~10 ms; on a loaded 1-core
+        host a transient peak can fall between samples — this mark can't."""
+        return self._classes[self._max_cls_idx]
+
     def _adapt(self, depth: int) -> None:
         """One controller tick (dispatch-thread only). Policy:
         - SLO breach (p95 sojourn over latency_slo_ms, >=8 samples at the
@@ -249,6 +258,7 @@ class Batcher:
             self._shrink_streak = 0
             if self._grow_streak >= 2:
                 self._cls_idx += 1
+                self._max_cls_idx = max(self._max_cls_idx, self._cls_idx)
                 self._grow_streak = 0
                 self._sojourn_ms.clear()
         elif self._cls_idx > 0 and depth <= self._classes[self._cls_idx - 1]:

@@ -200,6 +200,10 @@ class TTSServer:
             # trade latency for throughput under sustained depth
             "batch_class": (self._batcher.batch_class
                             if self._batcher else self._max_batch),
+            # lifetime high-water mark: a transient escalation peak can fall
+            # between /stats polls, this cannot
+            "max_batch_class": (self._batcher.max_batch_class
+                                if self._batcher else self._max_batch),
             "ref_cache_hits": self.stats.ref_cache_hits,
             "ref_cache_misses": self.stats.ref_cache_misses,
             "synth_ms_p50": round(ms[len(ms) // 2], 2) if ms else 0.0,

@@ -231,5 +231,8 @@ def train_codec_distill(
             vals = {k: float(v) for k, v in metrics.items()}
             print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
         if step % train_cfg.save_every == 0 and step > 1:
-            ckpt.save_pytree(f"{checkpoint_dir}/codec_distilled.npz", params)
+            from smalltts_tpu.utils.config_io import codec_meta
+
+            ckpt.save_pytree(f"{checkpoint_dir}/codec_distilled.npz", params,
+                             meta=codec_meta(codec_cfg))
     return params, {k: float(v) for k, v in metrics.items()}

@@ -121,5 +121,8 @@ def train_codec(
             print(f"step {step}: codec_loss={float(loss):.4f} "
                   + " ".join(f"{k}={float(v):.4f}" for k, v in aux.items()))
         if step % train_cfg.save_every == 0 and step > 1:
-            ckpt.save_pytree(f"{checkpoint_dir}/checkpoint_latest.npz", params)
+            from smalltts_tpu.utils.config_io import codec_meta
+
+            ckpt.save_pytree(f"{checkpoint_dir}/checkpoint_latest.npz", params,
+                             meta=codec_meta(cfg))
     return params

@@ -466,8 +466,13 @@ def train_distill(
             logger.log({k: float(v) for k, v in metrics.items()}, step)
         if step % train_cfg.save_every == 0 and step > 1 and writer:
             saver.wait()
-            saver.save_pytree(f"{checkpoint_dir}/student_latest.npz", student)
-            saver.save_pytree(f"{checkpoint_dir}/scorer_latest.npz", scorer)
+            from smalltts_tpu.utils.config_io import backbone_meta
+
+            meta = backbone_meta(model_cfg)
+            saver.save_pytree(f"{checkpoint_dir}/student_latest.npz", student,
+                              meta=meta)
+            saver.save_pytree(f"{checkpoint_dir}/scorer_latest.npz", scorer,
+                              meta=meta)
             saver.save_pytree(f"{checkpoint_dir}/discriminator_latest.npz", disc)
     saver.close()
     logger.close()

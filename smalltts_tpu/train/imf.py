@@ -458,7 +458,12 @@ def make_imf_dmd_steps(cfg: BackboneConfig, tx, tx_scorer,
                                                 train_cfg.t_floor), jnp.float32)
                 u = sg(imf_velocity(p, cfg, x, mask, t0, r0, tgt["cond"]))
                 x = x - (t0 - r0)[:, None, None].astype(x.dtype) * u
-            t_last = jnp.full((b,), grid[n_steps - 1], jnp.float32)
+            # floor t_last like the intermediate r0s: the state ARRIVED at
+            # max(grid[-1], t_floor), so evaluating the final velocity below
+            # that (possible when 1/focus_num_steps < t_floor) would skew
+            # the composition (advisor r4)
+            t_last = jnp.full((b,), jnp.maximum(grid[n_steps - 1],
+                                                train_cfg.t_floor), jnp.float32)
             r_last = jnp.full((b,), train_cfg.t_floor, jnp.float32)
             u = imf_velocity(p, cfg, sg(x), mask, t_last, r_last, tgt["cond"])
             x0 = x - (t_last - r_last)[:, None, None].astype(x.dtype) * u
@@ -688,7 +693,10 @@ def train_imf(
                 print(f"step {step}: imf_loss={float(loss):.5f}")
         if step % train_cfg.save_every == 0 and step > 1:
             saver.wait()
-            saver.save_pytree(f"{checkpoint_dir}/imf_student_latest.npz", student)
+            from smalltts_tpu.utils.config_io import backbone_meta
+
+            saver.save_pytree(f"{checkpoint_dir}/imf_student_latest.npz", student,
+                              meta=backbone_meta(model_cfg))
             if disc is not None:
                 saver.save_pytree(
                     f"{checkpoint_dir}/imf_discriminator_latest.npz", disc)

@@ -198,8 +198,13 @@ def train_teacher(
         if step % train_cfg.save_every == 0 and step > 1 and writer:
             # portable weights (raw + EMA) AND resumable full trainer state
             saver.wait()  # previous save fully on disk before re-snapshot
-            saver.save_pytree(f"{checkpoint_dir}/checkpoint_latest.npz", params)
-            saver.save_pytree(f"{checkpoint_dir}/checkpoint_ema.npz", ema_params)
+            from smalltts_tpu.utils.config_io import backbone_meta
+
+            meta = backbone_meta(model_cfg)
+            saver.save_pytree(f"{checkpoint_dir}/checkpoint_latest.npz", params,
+                              meta=meta)
+            saver.save_pytree(f"{checkpoint_dir}/checkpoint_ema.npz", ema_params,
+                              meta=meta)
             saver.save_train_state(
                 f"{checkpoint_dir}/train_state.npz",
                 {"params": params, "opt_state": opt_state, "ema": ema_params,

@@ -67,6 +67,11 @@ def unflatten_pytree(flat: Dict[str, np.ndarray]) -> Any:
 # so it must survive checkpointing exactly
 _BF16_KEY = "__bfloat16_keys__"
 
+# npz key carrying the checkpoint's JSON metadata (architecture config,
+# utils/config_io). Reserved: load_pytree strips it, so old readers that
+# predate it and new readers of old meta-free files both work unchanged.
+_META_KEY = "__meta_json__"
+
 
 def _atomic_savez(path: str, arrays: Dict[str, np.ndarray]) -> None:
     """Write-to-temp + rename so a crash mid-save never corrupts the last
@@ -114,13 +119,37 @@ def _decode_npz(data) -> Dict[str, np.ndarray]:
     return out
 
 
-def save_pytree(path: str, tree) -> None:
-    _atomic_savez(path, flatten_pytree(jax.device_get(tree)))
+def save_pytree(path: str, tree, meta: "dict | None" = None) -> None:
+    """`meta` (JSON-safe dict, e.g. config_io.backbone_meta(cfg)) rides in
+    the npz under a reserved key so a checkpoint knows its own architecture
+    (the reference's .pt files don't — src/scripts/test_checkpoint.py exists
+    to debug the resulting shape mismatches)."""
+    import json
+
+    flat = flatten_pytree(jax.device_get(tree))
+    if meta is not None:
+        if _META_KEY in flat:
+            raise ValueError(f"pytree already contains reserved key {_META_KEY!r}")
+        flat[_META_KEY] = np.array(json.dumps(meta))
+    _atomic_savez(path, flat)
+
+
+def load_meta(path: str) -> "dict | None":
+    """Metadata dict embedded by save_pytree(meta=...), or None for
+    old-format / meta-free checkpoints."""
+    import json
+
+    with np.load(path, allow_pickle=False) as data:
+        if _META_KEY not in data.files:
+            return None
+        return json.loads(str(data[_META_KEY]))
 
 
 def load_pytree(path: str):
     with np.load(path, allow_pickle=False) as data:
-        return unflatten_pytree(_decode_npz(data))
+        flat = _decode_npz(data)
+    flat.pop(_META_KEY, None)  # reserved metadata key never leaks into the tree
+    return unflatten_pytree(flat)
 
 
 def load_reference_backbone_checkpoint(path: str):
@@ -230,8 +259,8 @@ class AsyncCheckpointer:
             raise RuntimeError("AsyncCheckpointer is closed")
         self._q.put((fn, args))
 
-    def save_pytree(self, path: str, tree) -> None:
-        self._enqueue(save_pytree, (path, self._snapshot(tree)))
+    def save_pytree(self, path: str, tree, meta: "dict | None" = None) -> None:
+        self._enqueue(save_pytree, (path, self._snapshot(tree), meta))
 
     def save_train_state(self, path: str, state) -> None:
         self._enqueue(save_train_state, (path, self._snapshot(state)))

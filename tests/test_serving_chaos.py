@@ -396,7 +396,13 @@ def test_adaptive_growth_survives_chaos(tmp_path):
     poll_thread.join(timeout=10)
 
     assert not errors, errors
-    assert max(classes) == 8, (
-        f"controller never escalated under a 24-deep paid burst: {classes}")
+    # escalation is asserted on the server-side high-water mark, not the
+    # 10 ms poller samples: on a loaded 1-core host the poller can fall
+    # between a transient peak's rise and walk-back (advisor r4); the
+    # poller samples remain as a liveness sanity check only
+    assert classes, "stats poller never sampled"
+    assert get_stats()["max_batch_class"] == 8, (
+        f"controller never escalated under a 24-deep paid burst "
+        f"(sampled: {classes})")
     assert get_stats()["batch_class"] == 2, "class did not walk back on drain"
     loop.call_soon_threadsafe(loop.stop)
