@@ -532,7 +532,275 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def bench_train() -> None:
+    """Training-step MFU bench (`bench.py --train`, VERDICT r4 #2).
+
+    The serving grid above measures inference; the perf bar is MFU for
+    training too, and the reference's BATCH=2 (reference:
+    src/scripts/train/teacher.py:21-28) is a 16 GB-GPU-era artifact to be
+    beaten, not inherited. This measures the full-328M jitted teacher step
+    at per-chip batch {2, 8, 16, 32} and the DMD2 three-composite iteration
+    at {2, 8} on one chip: ms/step, MFU/HBM from XLA's compiled cost
+    analysis, and audio-throughput (train-s/s). One JSON line per config on
+    stdout; PERF.md carries the resulting table + the default-batch A/B.
+
+    Methodology matches the serving grid: state threads through K chained
+    donated steps, per-step = (t(K) - t(1)) / (K-1) so dispatch/fetch
+    overhead cancels. OOM at a batch size reports {"oom": true} and tries
+    remat (the knob a real run would reach for) before giving up.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from dataclasses import replace
+
+    from smalltts_tpu.data.bucketing import HOP_SIZE, SAMPLE_RATE
+    from smalltts_tpu.data.dummy import DummyDataConfig, dummy_batch
+    from smalltts_tpu.models.backbone import BackboneConfig, init_backbone
+    from smalltts_tpu.train.ema import ema_init
+    from smalltts_tpu.train.optim import teacher_optimizer
+    from smalltts_tpu.train.teacher import TeacherTrainConfig, make_teacher_step
+    from smalltts_tpu.utils.flops import compiled_cost, utilization
+
+    rng = np.random.default_rng(0)
+    results = {}
+
+    def time_chain(step_once, k: int = 8, reps: int = 3):
+        """(t(k) - t(1)) / (k-1) over the best of `reps`; step_once must
+        thread its own state and return a device scalar to fetch."""
+        t1s, tks = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(step_once(1))
+            t1 = time.perf_counter()
+            float(step_once(k))
+            t2 = time.perf_counter()
+            t1s.append(t1 - t0)
+            tks.append(t2 - t1)
+        return max(min(tks) - min(t1s), 1e-9) / (k - 1)
+
+    def run_teacher(bs: int, remat: bool, cdt: str = "float32") -> dict:
+        model_cfg = BackboneConfig()
+        if remat:
+            model_cfg = replace(model_cfg,
+                                dit=replace(model_cfg.dit, remat=True))
+        params = jax.jit(lambda k: init_backbone(k, model_cfg))(
+            jax.random.PRNGKey(0))
+        tx, _ = teacher_optimizer(params, 330_000)
+        opt_state = jax.jit(tx.init)(params)
+        ema_params = jax.jit(ema_init)(params)
+        dcfg = DummyDataConfig(batch_size=bs)
+        batch = {k: jnp.asarray(v)
+                 for k, v in dummy_batch(rng, dcfg).items() if k != "texts"}
+        step = make_teacher_step(model_cfg, tx,
+                                 TeacherTrainConfig(batch_size=bs,
+                                                    compute_dtype=cdt))
+        cost = compiled_cost(step, params, opt_state, ema_params, batch,
+                             jax.random.PRNGKey(1))
+        state = {"p": params, "o": opt_state, "e": ema_params}
+
+        def step_once(k):
+            loss = jnp.float32(0)
+            for i in range(k):
+                state["p"], state["o"], state["e"], loss = step(
+                    state["p"], state["o"], state["e"], batch,
+                    jax.random.PRNGKey(i))
+            return loss
+
+        step_once(1)  # compile + warm
+        sec = time_chain(step_once)
+        frames = bs * dcfg.max_latents
+        out = {
+            "ms_per_step": round(sec * 1e3, 2),
+            "train_audio_s_per_s": round(frames * HOP_SIZE / SAMPLE_RATE / sec, 2),
+            "remat": remat,
+            "compute_dtype": cdt,
+        }
+        if cost:
+            out.update({k: v for k, v in
+                        utilization(cost["flops"], cost["bytes"], sec).items()
+                        if k in ("achieved_tflops", "mfu", "hbm_gbps", "hbm_frac")})
+            out["tflops_per_step"] = round(cost["flops"] / 1e12, 3)
+        return out
+
+    # sweep batch x compute dtype: the reference's BATCH=2 fp32 is the
+    # baseline; bf16 compute (ops/precision.py) halves matmul operand and
+    # activation bytes and doubles MXU peak — measured, not assumed
+    teacher_cells = [(2, "float32"), (8, "float32"), (16, "float32"),
+                     (32, "float32"), (2, "bfloat16"), (8, "bfloat16"),
+                     (16, "bfloat16"), (32, "bfloat16")]
+    for bs, cdt in teacher_cells:
+        rec, last_msg = None, ""
+        for remat in (False, True):
+            for attempt in (0, 1):
+                try:
+                    rec = run_teacher(bs, remat, cdt)
+                    break
+                except Exception as exc:
+                    last_msg = f"{type(exc).__name__}: {exc}"[:200]
+                    print(f"teacher b{bs} remat={remat} try{attempt} "
+                          f"failed: {last_msg}", file=sys.stderr)
+                    # the tunnel's remote-compile endpoint 500s transiently
+                    # under load (memory: flaky tunnel) — retry once before
+                    # treating the failure as real
+                    if not ("remote_compile" in last_msg
+                            or "HTTP 500" in last_msg
+                            or "DEADLINE" in last_msg):
+                        break
+            if rec is not None:
+                break
+            oom = ("RESOURCE_EXHAUSTED" in last_msg
+                   or "Out of memory" in last_msg)
+            helper_died = ("remote_compile" in last_msg
+                           or "HTTP 500" in last_msg)
+            # remat can rescue a device OOM, and shrinks live ranges for a
+            # capacity-limited compile helper; anything else it won't fix
+            if not (oom or helper_died):
+                break
+        if rec is None:
+            oom = ("RESOURCE_EXHAUSTED" in last_msg
+                   or "Out of memory" in last_msg)
+            # a compile-helper crash is NOT a measured device OOM — label
+            # it honestly so the table never claims capacity limits the
+            # batch when the tunnel did (advisor-style mislabel guard)
+            rec = {"oom": True} if oom else {"error": last_msg}
+        tag = f"teacher_b{bs}" + ("_bf16" if cdt == "bfloat16" else "")
+        results[tag] = rec
+        print(json.dumps({"metric": f"train_{tag}", **rec}))
+        sys.stdout.flush()
+
+    # DMD2: one full iteration = student + disc + scorer composites chained
+    # (train/distill.py's loop); MFU from the SUM of the three compiled
+    # costs over the measured iteration time.
+    def run_dmd2(bs: int, cdt: str = "float32") -> dict:
+        from smalltts_tpu.models.asr import ASRConfig, init_asr
+        from smalltts_tpu.models.discriminator import (
+            DiscriminatorConfig,
+            init_discriminator,
+        )
+        from smalltts_tpu.models.sv import SVConfig, init_sv
+        from smalltts_tpu.train.distill import (
+            DistillConfig,
+            make_disc_step,
+            make_scorer_step,
+            make_student_step,
+        )
+        from smalltts_tpu.train.optim import distill_optimizer
+
+        base = BackboneConfig()
+        model_cfg = replace(base, dit=replace(base.dit, remat=True))
+        disc_cfg = DiscriminatorConfig(transformer_dim=model_cfg.hidden_dim,
+                                       ref_dim=model_cfg.hidden_dim)
+        asr_cfg = ASRConfig(input_dim=model_cfg.latent_dim)
+        sv_cfg = SVConfig(input_dim=model_cfg.latent_dim)
+        key = jax.random.PRNGKey(0)
+        teacher = jax.jit(lambda k: init_backbone(k, model_cfg))(key)
+        student = jax.tree.map(jnp.copy, teacher)
+        scorer = jax.tree.map(jnp.copy, teacher)
+        disc = jax.jit(lambda k: init_discriminator(k, disc_cfg))(key)
+        asr = jax.jit(lambda k: init_asr(k, asr_cfg))(key)
+        sv = jax.jit(lambda k: init_sv(k, sv_cfg))(key)
+        tx_s, tx_sc, tx_d = (distill_optimizer(student),
+                             distill_optimizer(scorer),
+                             distill_optimizer(disc))
+        opt_s = jax.jit(tx_s.init)(student)
+        opt_sc = jax.jit(tx_sc.init)(scorer)
+        opt_d = jax.jit(tx_d.init)(disc)
+        tc = DistillConfig(batch_size=bs, compute_dtype=cdt)
+        student_step = make_student_step(model_cfg, disc_cfg, asr_cfg,
+                                         sv_cfg, tx_s, tc)
+        disc_step = make_disc_step(model_cfg, disc_cfg, tx_d, cdt)
+        scorer_step = make_scorer_step(model_cfg, tx_sc, tc.scorer_updates,
+                                       cdt)
+        dcfg = DummyDataConfig(batch_size=bs)
+        batch = {k: jnp.asarray(v)
+                 for k, v in dummy_batch(rng, dcfg).items() if k != "texts"}
+        st = {"student": student, "opt_s": opt_s, "disc": disc,
+              "opt_d": opt_d, "scorer": scorer, "opt_sc": opt_sc}
+
+        def step_once(k):
+            out = jnp.float32(0)
+            for i in range(k):
+                ks = jax.random.split(jax.random.PRNGKey(i), 3)
+                # carry stashed in st: the cost analysis below lowers with
+                # a LIVE carry instead of making an extra donated call
+                # (which would invalidate st["student"]/st["opt_s"])
+                st["student"], st["opt_s"], st["carry"], _m = student_step(
+                    st["student"], st["opt_s"], teacher, st["scorer"],
+                    st["disc"], asr, sv, batch, jnp.asarray(10_000), ks[0])
+                st["disc"], st["opt_d"], out = disc_step(
+                    st["disc"], st["opt_d"], st["scorer"], batch,
+                    st["carry"], ks[1])
+                st["scorer"], st["opt_sc"], out = scorer_step(
+                    st["scorer"], st["opt_sc"], st["student"], batch,
+                    st["carry"], ks[2])
+            return out
+
+        step_once(1)
+        sec = time_chain(step_once, k=4)
+        frames = bs * dcfg.max_latents
+        out = {
+            "ms_per_step": round(sec * 1e3, 2),
+            "train_audio_s_per_s": round(frames * HOP_SIZE / SAMPLE_RATE / sec, 2),
+        }
+        total = {"flops": 0.0, "bytes": 0.0}
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        try:
+            c1 = compiled_cost(student_step, st["student"], st["opt_s"],
+                               teacher, st["scorer"], st["disc"], asr, sv,
+                               batch, jnp.asarray(10_000), ks[0])
+            c2 = compiled_cost(disc_step, st["disc"], st["opt_d"],
+                               st["scorer"], batch, st["carry"], ks[1])
+            c3 = compiled_cost(scorer_step, st["scorer"], st["opt_sc"],
+                               st["student"], batch, st["carry"], ks[2])
+            for c in (c1, c2, c3):
+                if c:
+                    total["flops"] += c["flops"]
+                    total["bytes"] += c["bytes"]
+        except Exception as exc:
+            print(f"dmd2 cost analysis skipped: {exc}", file=sys.stderr)
+        if total["flops"] > 0:
+            out.update({k: v for k, v in
+                        utilization(total["flops"], total["bytes"], sec).items()
+                        if k in ("achieved_tflops", "mfu", "hbm_gbps", "hbm_frac")})
+            out["tflops_per_step"] = round(total["flops"] / 1e12, 3)
+        return out
+
+    for bs, cdt in ((2, "float32"), (4, "float32"), (8, "float32"),
+                    (2, "bfloat16"), (4, "bfloat16"), (8, "bfloat16")):
+        try:
+            rec = run_dmd2(bs, cdt)
+            rec["compute_dtype"] = cdt
+        except Exception as exc:
+            msg = f"{type(exc).__name__}: {exc}"[:200]
+            oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+            rec = {"oom": True} if oom else {"error": msg}
+        tag = f"dmd2_b{bs}" + ("_bf16" if cdt == "bfloat16" else "")
+        results[tag] = rec
+        print(json.dumps({"metric": f"train_{tag}", **rec}))
+        sys.stdout.flush()
+
+    try:
+        os.makedirs("out", exist_ok=True)
+        with open("out/bench_train.json", "w") as f:
+            json.dump(results, f, indent=1)
+    except Exception:
+        pass
+
+
 if __name__ == "__main__":
+    if "--train" in sys.argv:
+        bench_train()
+        sys.exit(0)
     try:
         main()
     except SystemExit:

@@ -19,7 +19,13 @@ def length_mask(lengths: jax.Array, max_len: int) -> jax.Array:
 def masked_mse(pred: jax.Array, target: jax.Array, mask: jax.Array) -> jax.Array:
     """Masked MSE over (B, T, D) with (B, T) mask — denominator counts
     valid *elements* (mask broadcast over feature dim), matching
-    `(diff * valid).sum() / valid.sum()` with valid expanded to D channels."""
-    valid = jnp.broadcast_to(mask[..., None], pred.shape).astype(pred.dtype)
+    `(diff * valid).sum() / valid.sum()` with valid expanded to D channels.
+
+    Accumulates in float32 regardless of input dtype: under bf16
+    mixed-precision training the sum over B*T*D squared errors would lose
+    most of its mantissa in bf16 (the loss IS the training signal)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    valid = jnp.broadcast_to(mask[..., None], pred.shape).astype(jnp.float32)
     diff = (pred - target) ** 2 * valid
     return diff.sum() / jnp.maximum(valid.sum(), 1.0)

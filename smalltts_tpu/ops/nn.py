@@ -110,6 +110,12 @@ def conv1d(p, x: jax.Array, groups: int = 1, padding: str | int = "SAME") -> jax
         pad = [(padding, padding)]
     else:
         pad = padding
+    # f32 accumulation is only REQUESTED for f32 inputs: under bf16
+    # mixed-precision training, conv's transpose rule cannot take a f32
+    # cotangent against bf16 weights (lax.conv requires matching dtypes),
+    # and the TPU MXU accumulates bf16 convs in f32 internally regardless —
+    # the request would only pin the pre-bias rounding point
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
@@ -117,7 +123,7 @@ def conv1d(p, x: jax.Array, groups: int = 1, padding: str | int = "SAME") -> jax
         padding=pad,
         dimension_numbers=("NHC", "HIO", "NHC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )
     return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
 

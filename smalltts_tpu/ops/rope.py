@@ -66,9 +66,13 @@ def apply_rope_interleaved(x: jax.Array, freqs: jax.Array) -> jax.Array:
     """
     rot_dim = freqs.shape[-1]
     xr, x_pass = x[..., :rot_dim], x[..., rot_dim:]
-    cos = jnp.cos(freqs).astype(x.dtype)
-    sin = jnp.sin(freqs).astype(x.dtype)
-    xr = xr * cos + _rotate_half_interleaved(xr) * sin
+    # the rotation itself runs in float32 and casts back: the reference
+    # pins RoPE out of autocast (dit.py:159 @autocast enabled=False) —
+    # position information at long seq lens degrades fastest in bf16
+    cos = jnp.cos(freqs)
+    sin = jnp.sin(freqs)
+    xf = xr.astype(jnp.float32)
+    xr = (xf * cos + _rotate_half_interleaved(xf) * sin).astype(x.dtype)
     return jnp.concatenate([xr, x_pass], axis=-1) if x_pass.shape[-1] else xr
 
 

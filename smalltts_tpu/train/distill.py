@@ -52,6 +52,7 @@ from smalltts_tpu.models.style_encoder import style_encoder
 from smalltts_tpu.models.sv import SVConfig, sv_forward
 from smalltts_tpu.ops.masking import length_mask
 from smalltts_tpu.ops.losses import cosine_loss
+from smalltts_tpu.ops.precision import cast_floats
 from smalltts_tpu.ops.schedule import apply_noise, x_pred_from_velocity
 
 TIMESTEPS = (1.0, 1.0, 0.75, 0.50, 0.25)
@@ -69,6 +70,11 @@ class DistillConfig:
     sv_start_step: int = 7_000
     gan_weight: float = 1e-3
     scorer_updates: int = SCORER_UPDATES
+    # compute dtype for the backbone forwards/backwards (student, teacher
+    # CFG, scorer) — masters, targets, and every loss stay float32
+    # (ops/precision.py). The DMD target math (p_real/p_fake/denom) is
+    # deliberately NOT in bf16: it differences two near-equal x0 estimates.
+    compute_dtype: str = "float32"
 
 
 def _x_pred(params, cfg, x_t, ref, ref_len, mask, ph, ph_mask, t,
@@ -130,38 +136,57 @@ def make_student_step(
     compiles each piece in minutes and costs one extra student forward.
     """
     timesteps = jnp.asarray(TIMESTEPS)
+    cdt = jnp.dtype(train_cfg.compute_dtype)
+    mp = cdt != jnp.float32
+
+    def f32(x):
+        return x.astype(jnp.float32)
 
     @jax.jit
     def targets(student, teacher, scorer, batch, key):
         (latents, lat_len, mask, ph, ph_len, ph_mask, ref, ref_len) = _unpack(batch)
         b = latents.shape[0]
         ks = jax.random.split(key, 5)
+        if mp:
+            # bf16 compute view for every backbone forward in this graph;
+            # x0 estimates upcast at each boundary so the backward-sim
+            # chain and the DMD difference below stay fp32
+            student, teacher, scorer = (cast_floats(t, cdt)
+                                        for t in (student, teacher, scorer))
+            ref_c = ref.astype(cdt)
+        else:
+            ref_c = ref
 
         # frozen-teacher style sequence for the discriminator (distill.py:240-244)
         ref_seq, ref_mask = style_encoder(
-            teacher["style_encoder"], ref, ref_len, cfg.style
+            teacher["style_encoder"], ref_c, ref_len, cfg.style
         )
+        ref_seq = f32(ref_seq)
 
         # backward simulation (distill.py:248-287)
         idx = jax.random.randint(ks[0], (b,), 0, len(TIMESTEPS) - 1)
         t_prev = timesteps[idx]
         t_cur = timesteps[idx + 1]
         z_prev, _ = apply_noise(latents, t_prev, jax.random.normal(ks[1], latents.shape))
-        x0_prev = _x_pred(student, cfg, z_prev, ref, ref_len, mask, ph, ph_mask, t_prev)
+        x0_prev = f32(_x_pred(student, cfg, z_prev.astype(cdt), ref_c,
+                              ref_len, mask, ph, ph_mask, t_prev))
         z, _ = apply_noise(x0_prev, t_cur, jax.random.normal(ks[2], latents.shape))
 
         # student's x0 (detached copy; the update graph recomputes it w/ grad)
-        x0 = _x_pred(student, cfg, z, ref, ref_len, mask, ph, ph_mask, t_cur)
+        x0 = f32(_x_pred(student, cfg, z.astype(cdt), ref_c, ref_len, mask,
+                         ph, ph_mask, t_cur))
         ts = jax.random.uniform(ks[3], (b,))
         noise_t = jax.random.normal(ks[4], latents.shape)
         x_t, _ = apply_noise(x0, ts, noise_t)
 
         valid = mask[..., None].astype(jnp.float32)
-        p_real = (x0 - _x_pred_cfg(teacher, cfg, x_t, ref, ref_len, mask, ph, ph_mask, ts)) * valid
+        p_real = (x0 - f32(_x_pred_cfg(teacher, cfg, x_t.astype(cdt), ref_c,
+                                       ref_len, mask, ph, ph_mask, ts))) * valid
         x_pred_fake, feats_fake = _x_pred(
-            scorer, cfg, x_t, ref, ref_len, mask, ph, ph_mask, ts,
-            return_features=True,
+            scorer, cfg, x_t.astype(cdt), ref_c, ref_len, mask, ph, ph_mask,
+            ts, return_features=True,
         )
+        x_pred_fake, feats_fake = f32(x_pred_fake), f32(feats_fake)
         p_fake = (x0 - x_pred_fake) * valid
         denom = jnp.abs(p_real).mean(axis=(1, 2), keepdims=True)
         grad = jnp.nan_to_num((p_real - p_fake) / denom)
@@ -181,9 +206,17 @@ def make_student_step(
         sg = jax.lax.stop_gradient
 
         def student_loss(student_p):
+            if mp:
+                # bf16 fwd/bwd through the student only; grads flow back to
+                # the fp32 master via the casts. The GAN/CTC/SV loss paths
+                # below run fp32 on the upcast x0 (frozen nets keep their
+                # own fp32 params — their compute follows x0's dtype).
+                student_p = cast_floats(student_p, cdt)
             x0 = _x_pred(
-                student_p, cfg, tgt["z"], ref, ref_len, mask, ph, ph_mask, tgt["t_cur"]
+                student_p, cfg, tgt["z"].astype(cdt), ref.astype(cdt),
+                ref_len, mask, ph, ph_mask, tgt["t_cur"]
             )
+            x0 = f32(x0)
             # denominator counts valid *elements* (mask x latent channels),
             # matching reference valid.expand(-1,-1,64).sum() (distill.py:246,324-328)
             n_valid = jnp.maximum(valid.sum() * x0.shape[-1], 1.0)
@@ -268,17 +301,25 @@ def make_student_step(
     return student_step
 
 
-def make_disc_step(cfg: BackboneConfig, disc_cfg: DiscriminatorConfig, tx):
+def make_disc_step(cfg: BackboneConfig, disc_cfg: DiscriminatorConfig, tx,
+                   compute_dtype: str = "float32"):
+    cdt = jnp.dtype(compute_dtype)
+    mp = cdt != jnp.float32
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def disc_step(disc, disc_opt, scorer, batch, carry, key):
         (latents, lat_len, mask, ph, ph_len, ph_mask, ref, ref_len) = _unpack(batch)
         ts = carry["ts"]
         x_real, _ = apply_noise(latents, ts, jax.random.normal(key, latents.shape))
+        # the frozen-scorer feature forward is the FLOPs of this step —
+        # it runs in the compute dtype; the discriminator itself (small,
+        # loss-adjacent) stays fp32 on the upcast features
         _, feats_real = backbone_forward(
-            scorer, cfg, x_real, ref, ref_len, mask, ph, ph_mask, ts,
-            return_features=True,
+            cast_floats(scorer, cdt) if mp else scorer, cfg,
+            x_real.astype(cdt), ref.astype(cdt) if mp else ref, ref_len,
+            mask, ph, ph_mask, ts, return_features=True,
         )
-        feats_real = jax.lax.stop_gradient(feats_real)
+        feats_real = jax.lax.stop_gradient(feats_real.astype(jnp.float32))
 
         feats = jnp.concatenate([feats_real, carry["feats_fake"]], axis=0)
         xs = jnp.concatenate([x_real, carry["x_t"]], axis=0)
@@ -310,27 +351,37 @@ def make_disc_step(cfg: BackboneConfig, disc_cfg: DiscriminatorConfig, tx):
     return disc_step
 
 
-def make_scorer_step(cfg: BackboneConfig, tx, n_updates: int = SCORER_UPDATES):
+def make_scorer_step(cfg: BackboneConfig, tx, n_updates: int = SCORER_UPDATES,
+                     compute_dtype: str = "float32"):
+    cdt = jnp.dtype(compute_dtype)
+    mp = cdt != jnp.float32
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def scorer_step(scorer, scorer_opt, student, batch, carry, key):
         (latents, lat_len, mask, ph, ph_len, ph_mask, ref, ref_len) = _unpack(batch)
         valid = mask[..., None].astype(jnp.float32)
         x0_prev, t_cur = carry["x0_prev"], carry["t_cur"]
+        student_c = cast_floats(student, cdt) if mp else student
+        ref_c = ref.astype(cdt) if mp else ref
 
         def one_update(state, k):
             scorer_p, opt_state = state
             k1, k2, k3 = jax.random.split(k, 3)
             z, _ = apply_noise(x0_prev, t_cur, jax.random.normal(k1, latents.shape))
             x0 = jax.lax.stop_gradient(
-                _x_pred(student, cfg, z, ref, ref_len, mask, ph, ph_mask, t_cur)
-            )
+                _x_pred(student_c, cfg, z.astype(cdt), ref_c, ref_len, mask,
+                        ph, ph_mask, t_cur)
+            ).astype(jnp.float32)
             ts = jax.random.uniform(k2, (latents.shape[0],))
             noised, v_target = apply_noise(x0, ts, jax.random.normal(k3, latents.shape))
 
             def fm_loss(sp):
+                if mp:
+                    sp = cast_floats(sp, cdt)
                 v_pred = backbone_forward(
-                    sp, cfg, noised, ref, ref_len, mask, ph, ph_mask, ts
-                )
+                    sp, cfg, noised.astype(cdt), ref_c, ref_len, mask, ph,
+                    ph_mask, ts
+                ).astype(jnp.float32)
                 diff = ((v_pred - v_target) * valid) ** 2
                 return diff.sum() / jnp.maximum(valid.sum() * v_pred.shape[-1], 1.0)
 
@@ -425,8 +476,10 @@ def train_distill(
     opt_disc = tx_disc.init(disc)
 
     student_step = make_student_step(model_cfg, disc_cfg, asr_cfg, sv_cfg, tx_student, train_cfg)
-    disc_step = make_disc_step(model_cfg, disc_cfg, tx_disc)
-    scorer_step = make_scorer_step(model_cfg, tx_scorer, train_cfg.scorer_updates)
+    disc_step = make_disc_step(model_cfg, disc_cfg, tx_disc,
+                               train_cfg.compute_dtype)
+    scorer_step = make_scorer_step(model_cfg, tx_scorer, train_cfg.scorer_updates,
+                                   train_cfg.compute_dtype)
 
     data_iter = data_iter or get_dummy_dataloader(train_cfg.batch_size, seed)
     saver = ckpt.AsyncCheckpointer()

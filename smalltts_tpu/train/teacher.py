@@ -24,6 +24,7 @@ import optax
 
 from smalltts_tpu.models.backbone import BackboneConfig, backbone_forward, init_backbone
 from smalltts_tpu.ops.masking import length_mask, masked_mse
+from smalltts_tpu.ops.precision import cast_floats
 from smalltts_tpu.ops.schedule import apply_noise
 from smalltts_tpu.train import ema
 from smalltts_tpu.train.ema import ema_init, ema_update
@@ -39,6 +40,10 @@ class TeacherTrainConfig:
     speaker_cfg_drop: float = 0.10
     ema_beta: float = 0.9999
     remat: bool = False
+    # forward/backward compute dtype; master params/opt/EMA stay float32
+    # (ops/precision.py — the TPU analogue of the reference's autocast).
+    # "bfloat16" is the measured default-to-be: see PERF.md training MFU.
+    compute_dtype: str = "float32"
 
 
 def apply_cfg_drops(key, batch, text_drop: float, speaker_drop: float):
@@ -70,6 +75,15 @@ def teacher_loss(params, cfg: BackboneConfig, batch, key,
     noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
     noised, v_target = apply_noise(latents, t, noise)
 
+    cdt = jnp.dtype(train_cfg.compute_dtype)
+    if cdt != jnp.float32:
+        # bf16 compute view: params + float inputs cast once here; grads
+        # flow back to the fp32 masters automatically (the cast is part of
+        # the differentiated graph). v_target stays fp32 — masked_mse
+        # accumulates the loss in fp32 either way.
+        params = cast_floats(params, cdt)
+        noised = noised.astype(cdt)
+        ref = ref.astype(cdt)
     velocity = backbone_forward(
         params, cfg, noised, ref, ref_lengths, mask, phonemes, ph_mask, t
     )
