@@ -376,6 +376,7 @@ def main() -> None:
             from smalltts_tpu.infer.sampler import _sample_loop
             from smalltts_tpu.models.backbone import encode_conditions
             from smalltts_tpu.ops.masking import length_mask
+            from smalltts_tpu.utils.flops import compiled_cost, utilization
 
             dur, bs = 5.0, 8
             seq = frames_for_duration(dur)
@@ -424,10 +425,29 @@ def main() -> None:
                     float(rep(extra, jax.random.PRNGKey(i)))
                     t1.append(tm - t0)
                     tk.append(time.perf_counter() - tm)
-                return 1e3 * max(min(tk) - min(t1), 1e-9) / (k - 1)
+                ms = 1e3 * max(min(tk) - min(t1), 1e-9) / (k - 1)
+                # per-stage XLA cost -> each stage's own HBM/MXU floor, so
+                # the in-graph total decomposes into named pieces (VERDICT
+                # r4 #4: name where the time beyond the global HBM floor
+                # goes, stage by stage)
+                out = {"ms": round(ms, 3)}
+                c = compiled_cost(rep1, extra, jax.random.PRNGKey(0))
+                if c:
+                    u = utilization(c["flops"], c["bytes"], ms / 1e3)
+                    out.update({
+                        "gbytes": round(c["bytes"] / 1e9, 3),
+                        "gflops": round(c["flops"] / 1e9, 1),
+                        "mfu": u["mfu"], "hbm_frac": u["hbm_frac"],
+                        # the time this stage would take at full HBM bw /
+                        # full MXU rate — max() of the two is its floor
+                        "hbm_floor_ms": round(c["bytes"] / 819e9 * 1e3, 3),
+                        "mxu_floor_ms": round(
+                            c["flops"] / (u["peak_tflops"] * 1e12) * 1e3, 3),
+                    })
+                return out
 
             stages = {
-                "cond_enc_ms": timeit_scan(
+                "cond_enc": timeit_scan(
                     lambda p, kk: jnp.sum(
                         encode_conditions(
                             p, tts.cfg,
@@ -435,19 +455,29 @@ def main() -> None:
                             ref_lens, ph, ph_mask,
                         ).cross_kv.k_ref.astype(jnp.float32)),
                     tts.params),
-                "denoise_ms": timeit_scan(
+                "denoise": timeit_scan(
                     lambda pc, kk: jnp.sum(_sample_loop(
                         pc[0], tts.cfg, pc[1], seq_lens, t_bucket, kk,
                         tts.num_steps, None).astype(jnp.float32)),
                     (tts.params, cond0)),
-                "codec_dec_ms": timeit_scan(
+                # ONE denoise step (single cached DiT pass): denoise minus
+                # num_steps x this = the sampler loop's own overhead
+                "denoise_1step": timeit_scan(
+                    lambda pc, kk: jnp.sum(_sample_loop(
+                        pc[0], tts.cfg, pc[1], seq_lens, t_bucket, kk,
+                        1, None).astype(jnp.float32)),
+                    (tts.params, cond0)),
+                "codec_dec": timeit_scan(
                     lambda cp, kk: jnp.sum(
                         tts._decode_fn.__wrapped__(
                             cp, jax.random.normal(kk, lat_shape, jnp.float32)
                         ).astype(jnp.float32)),
                     tts.codec_params),
             }
-            detail["stages_ingraph_5s_b8"] = {k: round(v, 2) for k, v in stages.items()}
+            # weight mass each denoise step must stream from HBM (bf16)
+            stages["dit_param_gbytes"] = round(sum(
+                x.size * 2 for x in jax.tree.leaves(tts.params)) / 1e9, 3)
+            detail["stages_ingraph_5s_b8"] = stages
             print(f"in-graph stages (5s b8): {detail['stages_ingraph_5s_b8']}",
                   file=sys.stderr)
         except Exception as exc:
@@ -638,7 +668,16 @@ def bench_train() -> None:
     teacher_cells = [(2, "float32"), (8, "float32"), (16, "float32"),
                      (32, "float32"), (2, "bfloat16"), (8, "bfloat16"),
                      (16, "bfloat16"), (32, "bfloat16")]
+    # BENCH_TRAIN_ONLY=substr[,substr...] re-runs matching cells alone (a
+    # fresh process per heavy cell avoids cross-cell HBM fragmentation)
+    only = [s for s in os.environ.get("BENCH_TRAIN_ONLY", "").split(",") if s]
+
+    def selected(tag: str) -> bool:
+        return not only or any(s in tag for s in only)
+
     for bs, cdt in teacher_cells:
+        if not selected(f"teacher_b{bs}" + ("_bf16" if cdt == "bfloat16" else "")):
+            continue
         rec, last_msg = None, ""
         for remat in (False, True):
             for attempt in (0, 1):
@@ -706,6 +745,13 @@ def bench_train() -> None:
         teacher = jax.jit(lambda k: init_backbone(k, model_cfg))(key)
         student = jax.tree.map(jnp.copy, teacher)
         scorer = jax.tree.map(jnp.copy, teacher)
+        if cdt == "bfloat16":
+            # frozen teacher stored directly in bf16 (same as
+            # train_distill) — the fp32 master + in-graph copy is the
+            # difference between fitting and OOM at 328M on 16 GB
+            from smalltts_tpu.ops.precision import cast_floats
+
+            teacher = jax.jit(lambda t: cast_floats(t, jnp.bfloat16))(teacher)
         disc = jax.jit(lambda k: init_discriminator(k, disc_cfg))(key)
         asr = jax.jit(lambda k: init_asr(k, asr_cfg))(key)
         sv = jax.jit(lambda k: init_sv(k, sv_cfg))(key)
@@ -777,13 +823,16 @@ def bench_train() -> None:
 
     for bs, cdt in ((2, "float32"), (4, "float32"), (8, "float32"),
                     (2, "bfloat16"), (4, "bfloat16"), (8, "bfloat16")):
+        if not selected(f"dmd2_b{bs}" + ("_bf16" if cdt == "bfloat16" else "")):
+            continue
         try:
             rec = run_dmd2(bs, cdt)
             rec["compute_dtype"] = cdt
         except Exception as exc:
-            msg = f"{type(exc).__name__}: {exc}"[:200]
+            msg = f"{type(exc).__name__}: {exc}"[:400]
+            print(f"dmd2 b{bs} {cdt} failed: {msg}", file=sys.stderr)
             oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
-            rec = {"oom": True} if oom else {"error": msg}
+            rec = {"oom": True} if oom else {"error": msg[:200]}
         tag = f"dmd2_b{bs}" + ("_bf16" if cdt == "bfloat16" else "")
         results[tag] = rec
         print(json.dumps({"metric": f"train_{tag}", **rec}))
@@ -791,7 +840,14 @@ def bench_train() -> None:
 
     try:
         os.makedirs("out", exist_ok=True)
-        with open("out/bench_train.json", "w") as f:
+        path = "out/bench_train.json"
+        if only and os.path.exists(path):
+            # focused rerun: merge into the existing record
+            with open(path) as f:
+                prev = json.load(f)
+            prev.update(results)
+            results = prev
+        with open(path, "w") as f:
             json.dump(results, f, indent=1)
     except Exception:
         pass

@@ -121,9 +121,19 @@ def main() -> None:
                     choices=["backbone", "asr", "sv", "disc"],
                     help="which model family the checkpoint belongs to "
                          "(dmd_checkpoints sidecars: asr/sv/disc)")
+    ap.add_argument("--convert", metavar="OUT_NPZ", default=None,
+                    help="after validation, write the converted params as a "
+                         "native .npz WITH embedded architecture metadata "
+                         "(utils/config_io.backbone_meta) — the file "
+                         "SmallTTS(checkpoint=...) autoconfigures from; "
+                         "certify.py's onnx_pipeline stage consumes these "
+                         "(backbone checkpoints only)")
     args = ap.parse_args()
 
     if args.kind != "backbone":
+        if args.convert:
+            sys.exit("--convert supports backbone checkpoints only "
+                     "(sidecars carry no config metadata)")
         _validate_sidecar(args.kind, args.checkpoint)
         return
 
@@ -195,6 +205,12 @@ def main() -> None:
     assert err < 1e-4, f"cached path diverges from full forward: {err}"
     print(f"cached-inference path OK (max |diff| = {err:.2e})")
     print("checkpoint valid")
+
+    if args.convert:
+        from smalltts_tpu.utils.config_io import backbone_meta
+
+        ckpt.save_pytree(args.convert, params, meta=backbone_meta(cfg))
+        print(f"converted -> {args.convert} (with embedded config metadata)")
 
 
 if __name__ == "__main__":

@@ -11,7 +11,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=330_000)
-    ap.add_argument("--batch-size", type=int, default=2)
+    # measured defaults (PERF.md round-5 training MFU table, v5e-1): batch
+    # 16 + bf16 compute = 5771 train-audio-s/s vs the reference recipe's
+    # 1744 (BATCH=2 fp32, reference teacher.py:21-28) — 3.3x the data
+    # throughput per chip; an equal-DATA run then needs 1/8 the steps.
+    # NOTE at batch 16 the gradient is 8x less noisy than the reference
+    # recipe tuned for; keep --steps for equal-STEPS runs, or scale lr
+    # (linear rule: ~8x, with warmup) if replicating the 330k schedule
+    # exactly is not the goal. `--batch-size 2 --compute-dtype float32`
+    # reproduces the reference training recipe bit-for-bit in fp32.
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--compute-dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="forward/backward compute dtype; masters stay fp32 "
+                         "(ops/precision.py)")
     ap.add_argument("--pretrained", default=None)
     ap.add_argument("--resume", default=None)
     ap.add_argument("--dp", type=int, default=0, help="data-parallel ways (0 = single device)")
@@ -51,7 +64,8 @@ def main() -> None:
         )
 
     train_teacher(
-        TeacherTrainConfig(num_steps=args.steps, batch_size=args.batch_size),
+        TeacherTrainConfig(num_steps=args.steps, batch_size=args.batch_size,
+                           compute_dtype=args.compute_dtype),
         mesh=mesh,
         pretrained=args.pretrained,
         resume_from=args.resume,

@@ -459,6 +459,16 @@ def train_distill(
         key, k_disc = jax.random.split(key)
         disc = init_discriminator(k_disc, disc_cfg)
 
+    if jnp.dtype(train_cfg.compute_dtype) != jnp.float32:
+        # the FROZEN teacher never sees an optimizer — store it directly in
+        # the compute dtype instead of keeping an fp32 master plus an
+        # in-graph bf16 copy (at 328M that duplicate is ~2 GB of HBM, the
+        # difference between DMD2-bf16 fitting on a 16 GB v5e and OOM;
+        # measured: bench --train dmd2 bf16 cells). Student/scorer/disc
+        # keep fp32 masters — they train.
+        teacher = jax.jit(lambda t: cast_floats(
+            t, jnp.dtype(train_cfg.compute_dtype)))(teacher)
+
     tx_student = distill_optimizer(student)
     tx_scorer = distill_optimizer(scorer)
     tx_disc = distill_optimizer(disc)
