@@ -14,6 +14,7 @@ buckets (data.bucketing) so XLA never recompiles per request.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -98,6 +99,7 @@ class SmallTTS:
         w8_modulation: bool = False,
         w8_stream: bool = False,
         fused_projections: bool = True,
+        fused_block: bool = False,
         pcm16_out: bool = False,
     ) -> None:
         """`sampler` selects the few-step recurrence:
@@ -221,6 +223,20 @@ class SmallTTS:
             from smalltts_tpu.models.dit import quantize_stream_weights
 
             backbone_host = quantize_stream_weights(backbone_host)
+        if fused_block or os.environ.get("SMALLTTS_PALLAS_BLOCK") == "1":
+            # Whole-scan Pallas kernel layout (ops/pallas/block.py): the
+            # entire 12-layer cached block scan runs as ONE kernel with
+            # explicitly double-buffered weight DMA. Requires the fused
+            # [qkv|gate]/[w1|w3] layout; buckets past the kernel's VMEM
+            # budget fall back to the XLA scan per-compile (fits_vmem).
+            if not fused_projections:
+                raise ValueError("fused_block requires fused_projections")
+            if w8_stream:
+                raise ValueError("fused_block and w8_stream are exclusive "
+                                 "(int8 streams keep XLA in charge)")
+            from smalltts_tpu.models.dit import pack_fused_block
+
+            backbone_host = pack_fused_block(backbone_host)
         if mesh is not None:
             from smalltts_tpu.parallel.mesh import shard_params
 

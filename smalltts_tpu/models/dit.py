@@ -460,6 +460,58 @@ def dit_encode_cross_kv(
     return CrossKV(k_ref, v_ref, k_text, v_text)
 
 
+def pack_fused_block(params):
+    """Serving-time transform: add the Pallas whole-scan kernel's weight
+    layout (ops/pallas/block.pack_block_weights) under blocks["pallas"].
+
+    Originals are KEPT so buckets that exceed the kernel's VMEM budget
+    (block.fits_vmem) fall back to the XLA scan — ~0.5 GB extra HBM at
+    full size, a serving-only cost. Apply AFTER fuse_serving_projections.
+    Opt-in via SmallTTS(fused_block=True) / SMALLTTS_PALLAS_BLOCK=1."""
+    from smalltts_tpu.ops.pallas.block import pack_block_weights
+
+    params = jax.tree.map(lambda x: x, params)
+    dit = params["dit"] if "dit" in params else params
+    blocks = dict(dit["blocks"])
+    if "pallas" in blocks:
+        return params
+    if "qkvg" not in blocks["attn"]:
+        raise ValueError("pack_fused_block requires fuse_serving_projections")
+    h = blocks["attn"]["q_norm"]["scale"].shape[1]
+    d = blocks["attn"]["q_norm"]["scale"].shape[2]
+    blocks["pallas"] = pack_block_weights(blocks, h, d)
+    dit["blocks"] = blocks
+    return params
+
+
+def _fused_block_scan(p, cfg: DiTConfig, x, mods, mask, ref_mask,
+                      phonemes_mask, cached: CrossKV):
+    """Route the layer scan through ops/pallas/block.fused_dit_scan."""
+    from smalltts_tpu.ops.pallas import block as BK
+
+    T = x.shape[1]
+    k_cross = BK.pack_cross_kv(
+        jnp.concatenate([cached.k_ref, cached.k_text], axis=3), cfg.head_dim)
+    v_cross = BK.pack_cross_kv(
+        jnp.concatenate([cached.v_ref, cached.v_text], axis=3), cfg.head_dim)
+    cos, sin = BK.rope_tables(
+        rope_table_interleaved(T, cfg.rot_dim), cfg.heads, cfg.head_dim, T)
+    mods6 = jnp.stack(jnp.split(mods, 6, axis=-1), axis=1)
+    cross_mask = jnp.concatenate([ref_mask, phonemes_mask], axis=1)
+    self_bias = jnp.where(mask, 0.0, -1e9)[:, None, :].astype(jnp.float32)
+    cross_bias = jnp.where(cross_mask, 0.0,
+                           -1e9)[:, None, :].astype(jnp.float32)
+    row_mask = mask[..., None].astype(x.dtype)
+    return BK.fused_dit_scan(
+        x, mods6, self_bias, cross_bias, row_mask,
+        jnp.asarray(cos), jnp.asarray(sin), p["blocks"]["pallas"],
+        k_cross, v_cross, heads=cfg.heads, head_dim=cfg.head_dim,
+        hidden=cfg.hidden_dim, ff_dim=cfg.ff_dim,
+        # off-TPU (CPU tests) the kernel runs in interpret mode — the
+        # opt-in flag means nobody pays this without asking
+        interpret=jax.default_backend() != "tpu")
+
+
 def dit_forward_cached(
     p,
     cfg: DiTConfig,
@@ -489,6 +541,19 @@ def dit_forward_cached(
         mods = jnp.broadcast_to(mods_i[:, None, :],
                                 (mods_i.shape[0], b, mods_i.shape[-1]))
         final_mod = jnp.broadcast_to(final_i[None, :], (b, final_i.shape[-1]))
+
+    if "pallas" in p["blocks"]:
+        from smalltts_tpu.ops.pallas.block import fits_vmem
+
+        if fits_vmem(x.shape[0], x.shape[1],
+                     cached.k_ref.shape[3] + cached.k_text.shape[3],
+                     cfg.heads, cfg.head_dim, cfg.hidden_dim, cfg.ff_dim):
+            x = _fused_block_scan(p, cfg, x, mods, mask, ref_mask,
+                                  phonemes_mask, cached)
+            if final_mod is not None:
+                return _adaln_final_from_mod(final_mod, x)
+            return _adaln_final(p["norm_out"], x, emb)
+        # bucket exceeds the kernel's VMEM budget: XLA scan fallback below
 
     # scan xs slices EVERY leaf per iteration — thread ONLY what the cached
     # body touches. The cross-KV projection weights (~88 MB, used only at
