@@ -24,6 +24,7 @@ PROMISED_API = {
     "smalltts_tpu.text.normalizer": ["EnglishTextNormalizer"],
     "smalltts_tpu.ops.schedule": ["get_alpha_sigma", "apply_noise"],
     "smalltts_tpu.ops.masking": ["length_mask"],
+    "smalltts_tpu.ops.precision": ["cast_floats"],
     "smalltts_tpu.train.utils": ["get_mask", "get_alpha_sigma",
                                  "apply_noise"],
     "smalltts_tpu.data.dummy": ["get_dummy_dataloader"],
@@ -70,6 +71,26 @@ def test_promised_server_flags_exist():
         REPO, "smalltts_tpu", "serving", "server.py")).read()
     missing = [f for f in PROMISED_SERVER_FLAGS if f'"{f}"' not in src]
     assert not missing, f"server.py lost promised flags {missing}"
+
+
+def test_promised_cli_flags_exist():
+    """Round-5 surfaces the docs promise: measured training defaults,
+    out-of-process load generation, checkpoint conversion with metadata."""
+    for script, flags in {
+        "train_teacher.py": ['"--compute-dtype"', "default=16",
+                             'default="bfloat16"'],
+        "bench_serving.py": ['"--proc-clients"', '"--worker"'],
+        "test_checkpoint.py": ['"--convert"'],
+    }.items():
+        src = open(os.path.join(REPO, "scripts", script)).read()
+        missing = [f for f in flags if f not in src]
+        assert not missing, f"scripts/{script} lost promised {missing}"
+    # config knobs the docs reference
+    from smalltts_tpu.train.distill import DistillConfig
+    from smalltts_tpu.train.teacher import TeacherTrainConfig
+
+    assert hasattr(TeacherTrainConfig(), "compute_dtype")
+    assert hasattr(DistillConfig(), "compute_dtype")
 
 
 def test_promised_env_vars_consumed():
