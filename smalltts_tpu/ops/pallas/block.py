@@ -87,10 +87,15 @@ def pack_block_weights(blocks: dict, heads: int, head_dim: int) -> dict:
     qkvg_wp = pad_heads(qkvg_w, 4)
     qkvg_bp = pad_heads(qkvg_b, 4)
 
-    # to_out: input side is the head-padded attention output
+    # to_out: input side is the head-padded attention output; OUTPUT side is
+    # lane-padded H -> Hp so the kernel's weight-window DMA destination is a
+    # full-lane slice (Mosaic requires 128-aligned lane slicing on memrefs;
+    # the zero pad lanes produce zero columns the kernel never reads)
+    Hp = _round_up(H, 128)
     ow = attn["to_out"]["w"].reshape(L, heads, head_dim, H)
     ow = jnp.pad(ow, ((0, 0), (0, 0), (0, dp - head_dim), (0, 0)))
     ow = ow.reshape(L, heads * dp, H)
+    ow = jnp.pad(ow, ((0, 0), (0, 0), (0, Hp - H)))
 
     # w13 interleaved in CU-column a/b pairs, F padded to a CU multiple
     w13_w, w13_b = ff["w13"]["w"], ff["w13"]["b"]            # (L,H,2F),(L,2F)
@@ -110,7 +115,8 @@ def pack_block_weights(blocks: dict, heads: int, head_dim: int) -> dict:
                           b3[..., c * CU:(c + 1) * CU]], axis=-1)
          for c in range(nfc)], axis=-1)
 
-    w2_wp = jnp.pad(ff["w2"]["w"], ((0, 0), (0, fp - F), (0, 0)))  # (L,fp,H)
+    w2_wp = jnp.pad(ff["w2"]["w"],
+                    ((0, 0), (0, fp - F), (0, Hp - H)))            # (L,fp,Hp)
     w2_bp = ff["w2"]["b"]                                           # (L, H)
 
     def pad_scale(s):  # (L, heads, d) -> (L, heads*dp), zero pad lanes
@@ -148,18 +154,37 @@ def rope_tables(rope_freqs: np.ndarray, heads: int, head_dim: int,
     return (np.tile(cos1, (1, heads)), np.tile(sin1, (1, heads)))
 
 
+# scoped-VMEM limit requested from Mosaic (v5e physical VMEM is 128 MiB;
+# the 16 MiB default is a compiler default, not the hardware — measured:
+# the headline 8x40 cell needs 17.6 MiB and compiles+runs with this raised)
+VMEM_LIMIT = 100 * 2 ** 20
+
+
 def fits_vmem(B: int, T: int, S_c: int, heads: int, head_dim: int,
               hidden: int, ff_dim: int, dtype_bytes: int = 2,
-              budget: int = 15 * 2 ** 20) -> bool:
+              budget: int = VMEM_LIMIT - 6 * 2 ** 20) -> bool:
+    """True when the kernel's VMEM footprint fits the requested limit.
+
+    Counts scratch AND Pallas's (double-buffered) input/output blocks —
+    the original scratch-only estimate under-counted by ~3.8 MiB at the
+    headline cell (v5e compile log: 17.59M needed vs 14.3M estimated).
+    The 6 MiB margin covers small blocked inputs, tile padding, and the
+    compiler's own temporaries.
+    """
     dp = _round_up(head_dim, 128)
     hp = heads * dp
     need = dtype_bytes * (
-        B * T * hidden          # out carry
+        2 * B * T * hidden      # x input block + out block
+        + B * T * hidden        # out carry
         + B * T * hp            # normbuf
         + B * T * 4 * hp        # qkvg / ffmid buffer
         + 2 * B * S_c * hp      # cross K and V
         + 2 * 1024 * 1024       # weight window
-    ) + 2 * T * hp * 4          # rope tables
+        + 2 * 6 * B * hidden    # per-layer modulations (double-buffered)
+    ) + 4 * (
+        2 * T * hp              # rope tables (fp32)
+        + 128 * hp + 8 * hp     # head masks (lane/sublane padded, fp32)
+    )
     return need <= budget
 
 
@@ -233,8 +258,11 @@ def fused_dit_scan(x, mods, self_bias, cross_bias, row_mask, rope_cos,
                     qkvg_hbm.at[layer, :, c * WCH:(c + 1) * WCH],
                     wbuf.at[slot, :H, :], sem_w.at[slot])
             if kind == "out":
+                # out/w2 windows are lane-padded to Hp at pack time — full-
+                # lane DMA destinations (Mosaic: lane slices must be 128-
+                # aligned on memrefs)
                 return pltpu.make_async_copy(
-                    out_hbm.at[layer], wbuf.at[slot, :hp, :H],
+                    out_hbm.at[layer], wbuf.at[slot, :hp, :],
                     sem_w.at[slot])
             if kind == "w13":
                 return pltpu.make_async_copy(
@@ -242,7 +270,7 @@ def fused_dit_scan(x, mods, self_bias, cross_bias, row_mask, rope_cos,
                     wbuf.at[slot, :H, :], sem_w.at[slot])
             return pltpu.make_async_copy(
                 w2_hbm.at[layer, c * RCH:(c + 1) * RCH, :],
-                wbuf.at[slot, :RCH, :H], sem_w.at[slot])
+                wbuf.at[slot, :RCH, :], sem_w.at[slot])
 
         def kv_copies(layer):
             return (pltpu.make_async_copy(kc_hbm.at[layer], kbuf,
@@ -286,7 +314,7 @@ def fused_dit_scan(x, mods, self_bias, cross_bias, row_mask, rope_cos,
                     normbuf[:, :, :H], wbuf[slot, :H, :],
                     (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                acc = acc + qkvgb_ref[:, c * WCH:(c + 1) * WCH
+                acc = acc + qkvgb_ref[0, :, c * WCH:(c + 1) * WCH
                                       ].astype(jnp.float32)[:, None, :]
                 qbuf[:, :, c * WCH:(c + 1) * WCH] = acc.astype(dtype)
 
@@ -301,7 +329,7 @@ def fused_dit_scan(x, mods, self_bias, cross_bias, row_mask, rope_cos,
                         invl = jax.lax.dot_general(
                             inv, hmt_ref[...], (((2,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-                        sc = scale_ref[...].astype(jnp.float32)[:, None, :]
+                        sc = scale_ref[0].astype(jnp.float32)[:, None, :]
                         return (sf * invl * sc).astype(dtype)
 
                     cosb = cos_ref[...][None]
@@ -379,7 +407,7 @@ def fused_dit_scan(x, mods, self_bias, cross_bias, row_mask, rope_cos,
                     normbuf[:, :, :H], wbuf[slot, :H, :],
                     (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                acc = acc + w13b_ref[:, c * WCH:(c + 1) * WCH
+                acc = acc + w13b_ref[0, :, c * WCH:(c + 1) * WCH
                                      ].astype(jnp.float32)[:, None, :]
                 qbuf[:, :, c * CU:(c + 1) * CU] = (
                     jax.nn.silu(acc[:, :, :CU]) * acc[:, :, CU:]
@@ -402,7 +430,7 @@ def fused_dit_scan(x, mods, self_bias, cross_bias, row_mask, rope_cos,
                     # masks the ATTENTION branch output (models/dit.py _attend);
                     # FF values on padded rows flow unmasked in both paths
                     ff = (qbuf[:, :, 3 * hp:3 * hp + H].astype(jnp.float32)
-                          + w2b_ref[...].astype(jnp.float32)[:, None, :])
+                          + w2b_ref[0].astype(jnp.float32)[:, None, :])
                     o_ref[...] = (
                         o_ref[...].astype(jnp.float32)
                         + jnp.tanh(gate_mlp)[:, None, :] * ff
@@ -423,11 +451,16 @@ def fused_dit_scan(x, mods, self_bias, cross_bias, row_mask, rope_cos,
             pl.BlockSpec((T, hp), lambda l: (0, 0)),                 # sin
             pl.BlockSpec((hp, heads), lambda l: (0, 0)),             # hm
             pl.BlockSpec((heads, hp), lambda l: (0, 0)),             # hmT
-            pl.BlockSpec((1, hp), lambda l: (l, 0)),                 # q scale
-            pl.BlockSpec((1, hp), lambda l: (l, 0)),                 # k scale
-            pl.BlockSpec((1, 4 * hp), lambda l: (l, 0)),             # qkvg b
-            pl.BlockSpec((1, 2 * fp), lambda l: (l, 0)),             # w13 b
-            pl.BlockSpec((1, H), lambda l: (l, 0)),                  # w2 b
+            # per-layer vectors carry a singleton middle dim so the block's
+            # last-two dims are (1, k) over an array whose second-to-last
+            # dim IS 1 — TPU lowering requires last-two block dims divisible
+            # by (8, 128) or equal to the array's (interpret mode doesn't
+            # enforce this; real-TPU A/B did)
+            pl.BlockSpec((1, 1, hp), lambda l: (l, 0, 0)),           # q scale
+            pl.BlockSpec((1, 1, hp), lambda l: (l, 0, 0)),           # k scale
+            pl.BlockSpec((1, 1, 4 * hp), lambda l: (l, 0, 0)),       # qkvg b
+            pl.BlockSpec((1, 1, 2 * fp), lambda l: (l, 0, 0)),       # w13 b
+            pl.BlockSpec((1, 1, H), lambda l: (l, 0, 0)),            # w2 b
             pl.BlockSpec(memory_space=pl.ANY),                    # qkvg w
             pl.BlockSpec(memory_space=pl.ANY),                    # out w
             pl.BlockSpec(memory_space=pl.ANY),                    # w13 w
@@ -447,13 +480,21 @@ def fused_dit_scan(x, mods, self_bias, cross_bias, row_mask, rope_cos,
             pltpu.SemaphoreType.DMA((2,)),            # weight slots
             pltpu.SemaphoreType.DMA((2,)),            # cross K/V
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # the default scoped-vmem limit is 16 MiB; the headline serving cell
+        # needs ~17.6 MiB once Pallas's double-buffered input blocks are
+        # counted (v5e-1 compile log). v5e physical VMEM is larger — raise
+        # the scoped limit rather than shrink the weight window.
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(
         x, mods, self_bias, cross_bias, row_mask,
         rope_cos, rope_sin, jnp.asarray(hm), jnp.asarray(hm.T),
-        packed["q_scale"], packed["k_scale"],
-        packed["qkvg_b"], packed["w13_b"], packed["w2_b"],
+        packed["q_scale"][:, None, :], packed["k_scale"][:, None, :],
+        packed["qkvg_b"][:, None, :], packed["w13_b"][:, None, :],
+        packed["w2_b"][:, None, :],
         packed["qkvg_w"], packed["out_w"], packed["w13_w"], packed["w2_w"],
         k_cross, v_cross,
     )

@@ -116,9 +116,15 @@ def test_fused_scan_masks_matter():
 
 
 def test_fits_vmem_gate():
-    # headline serving cell fits; the 10s b8 bucket does not
+    # with the raised scoped-VMEM limit (v5e physical VMEM >> the 16 MiB
+    # compiler default; ops/pallas/block.py VMEM_LIMIT) every b<=8 serving
+    # bucket rides the kernel, including 10s b8; the adaptive-ceiling b32
+    # at the 10s bucket and b64 do not fit
     assert fits_vmem(8, 40, 192, 8, 120, 960, 2400)
-    assert not fits_vmem(8, 240, 448, 8, 120, 960, 2400)
+    assert fits_vmem(8, 240, 448, 8, 120, 960, 2400)
+    assert fits_vmem(32, 40, 192, 8, 120, 960, 2400)
+    assert not fits_vmem(32, 240, 448, 8, 120, 960, 2400)
+    assert not fits_vmem(64, 120, 192, 8, 120, 960, 2400)
 
 
 def test_smalltts_fused_block_integration():
